@@ -1,0 +1,134 @@
+"""Image op oracles: resize matrices, Gaussian blur, color, DCT."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import sys
+
+from elvis_tpu.ops import color, dct
+from elvis_tpu.ops import filter as F
+import elvis_tpu.ops.resize  # noqa: F401 — ensure module registered
+
+R = sys.modules["elvis_tpu.ops.resize"]
+
+
+class TestResize:
+    def test_area_downscale_integer_factor_is_mean_pool(self, tiny_video):
+        img = tiny_video[0].astype(np.float32)
+        got = np.asarray(R.resize(jnp.asarray(img), (24, 32), method="area"))
+        want = img.reshape(24, 2, 32, 2, 3).mean(axis=(1, 3))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_area_matrix_rows_sum_to_one(self):
+        for dst, src in [(3, 7), (5, 8), (7, 13)]:
+            m = R.resize_matrix(dst, src, "area")
+            np.testing.assert_allclose(m.sum(axis=1), 1.0, atol=1e-12)
+
+    def test_linear_identity(self):
+        m = R.resize_matrix(16, 16, "linear")
+        np.testing.assert_allclose(m, np.eye(16))
+
+    def test_linear_upscale_2x_endpoints(self):
+        # cv2 half-pixel convention: dst[0] maps to src coord -0.25 (clamped)
+        img = jnp.tile(jnp.arange(6, dtype=jnp.float32), (4, 1))[None]  # (1,4,6) gray
+        y = np.asarray(R.resize(img, (4, 12), method="linear"))
+        assert y.shape == (1, 4, 12)
+        # interior spacing is 0.5 apart
+        np.testing.assert_allclose(np.diff(y[0, 0])[1:-1], 0.5, atol=1e-5)
+
+    def test_lanczos_reconstructs_smooth_signal(self):
+        t = np.linspace(0, 2 * np.pi, 64, endpoint=False)
+        sig = np.sin(t).astype(np.float32)
+        img = np.tile(sig, (16, 1))[None]  # (1,16,64)
+        small = R.resize(jnp.asarray(img), (16, 32), method="area")
+        back = np.asarray(R.resize(small, (16, 64), method="lanczos4"))
+        assert np.abs(back[0, 8] - img[0, 8]).mean() < 0.05
+
+    def test_nearest(self):
+        img = jnp.asarray(np.arange(24, dtype=np.uint8).reshape(1, 4, 6))
+        y = np.asarray(R.resize(img, (2, 2), method="nearest"))
+        np.testing.assert_array_equal(y[0], [[0, 3], [12, 15]])
+
+    def test_uint8_round_and_clip(self):
+        img = jnp.asarray(np.array([[0, 255], [255, 0]], dtype=np.uint8))[None]
+        y = np.asarray(R.resize(img, (4, 4), method="lanczos4"))
+        assert y.dtype == np.uint8
+
+
+class TestFilter:
+    def test_gaussian_kernel_matches_cv2_values(self):
+        # cv2.getGaussianKernel(5, 1.0) reference values
+        want = np.array([0.05448868, 0.24420134, 0.40261996, 0.24420134, 0.05448868])
+        np.testing.assert_allclose(F.gaussian_kernel_1d(5, 1.0), want, atol=1e-7)
+
+    def test_blur_preserves_constant(self):
+        img = jnp.full((2, 8, 8, 3), 100.0, dtype=jnp.float32)
+        y = np.asarray(F.gaussian_blur(img))
+        np.testing.assert_allclose(y, 100.0, atol=1e-4)
+
+    def test_blur_oracle_small(self):
+        """Direct 2-D correlation with reflect-101 padding as oracle."""
+        rng = np.random.default_rng(2)
+        img = rng.random((8, 8)).astype(np.float32)
+        k1 = F.gaussian_kernel_1d(5, 1.0)
+        k2 = np.outer(k1, k1)
+        padded = np.pad(img, 2, mode="reflect")
+        want = np.zeros_like(img)
+        for i in range(8):
+            for j in range(8):
+                want[i, j] = (padded[i : i + 5, j : j + 5] * k2).sum()
+        got = np.asarray(F.gaussian_blur(jnp.asarray(img)[None, :, :, None], h_axis=-3, w_axis=-2))[0, :, :, 0]
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_iterated_levels_monotone_smoothing(self, tiny_video):
+        img = jnp.asarray(tiny_video[:1]).astype(jnp.float32)
+        levels = F.iterated_gaussian_blur_levels(img, 4)
+        assert levels.shape == (5, 1, 48, 64, 3)
+        variances = [float(jnp.var(levels[i])) for i in range(5)]
+        assert all(variances[i] >= variances[i + 1] for i in range(4))
+
+    def test_unsharp_sharpens(self, tiny_video):
+        img = jnp.asarray(tiny_video[:1]).astype(jnp.float32)
+        blurred = F.gaussian_blur(img)
+        sharp = F.unsharp_mask(blurred, amount=0.5, radius=1)
+        # unsharp should increase variance back toward original
+        assert float(jnp.var(sharp)) > float(jnp.var(blurred))
+
+
+class TestColor:
+    def test_ycbcr_roundtrip(self, tiny_video):
+        x = jnp.asarray(tiny_video.astype(np.float32))
+        back = np.asarray(color.ycbcr_to_rgb(color.rgb_to_ycbcr(x)))
+        np.testing.assert_allclose(back, tiny_video, atol=1.0)
+
+    def test_gray_matches_bt601(self):
+        rgb = jnp.asarray(np.array([[[255, 0, 0], [0, 255, 0], [0, 0, 255]]], dtype=np.float32))
+        g = np.asarray(color.rgb_to_gray(rgb))
+        np.testing.assert_allclose(g[0], [76.245, 149.685, 29.07], atol=0.01)
+
+    def test_yuv420_roundtrip_close(self, tiny_video):
+        x = jnp.asarray(tiny_video.astype(np.float32))
+        y, cb, cr = color.rgb_to_yuv420(x)
+        assert cb.shape == (5, 24, 32)
+        back = np.asarray(color.yuv420_to_rgb(y, cb, cr))
+        # chroma subsampling loses detail; luma should be near-exact
+        g0 = np.asarray(color.rgb_to_gray(x))
+        g1 = np.asarray(color.rgb_to_gray(jnp.asarray(back)))
+        np.testing.assert_allclose(g1, g0, atol=2.0)
+
+
+class TestDCT:
+    def test_orthonormal(self):
+        d = dct.dct_matrix(8)
+        np.testing.assert_allclose(d @ d.T, np.eye(8), atol=1e-12)
+
+    def test_roundtrip(self, rng):
+        x = jnp.asarray(rng.random((3, 4, 8, 8)).astype(np.float32) * 255)
+        back = dct.block_idct2(dct.block_dct2(x))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-3)
+
+    def test_dc_coefficient_is_block_mean(self, rng):
+        x = jnp.asarray(rng.random((8, 8)).astype(np.float32))
+        c = np.asarray(dct.block_dct2(x))
+        np.testing.assert_allclose(c[0, 0], np.asarray(x).mean() * 8, atol=1e-5)
