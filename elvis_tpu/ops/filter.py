@@ -37,17 +37,26 @@ def gaussian_kernel_1d(ksize: int = 5, sigma: float = 1.0) -> np.ndarray:
     return (k / k.sum()).astype(np.float64)
 
 
+@functools.lru_cache(maxsize=256)
+def _reflect101_indices(n: int, pad: int) -> np.ndarray:
+    """Index row implementing OpenCV borderInterpolate(BORDER_REFLECT_101)
+    for arbitrary pad (the reflection keeps bouncing for pad >= n, which
+    ``jnp.pad(mode='reflect')`` cannot express)."""
+
+    def bounce(i: int) -> int:
+        if n == 1:
+            return 0
+        while i < 0 or i >= n:
+            i = -i if i < 0 else 2 * (n - 1) - i
+        return i
+
+    return np.asarray([bounce(i) for i in range(-pad, n + pad)], dtype=np.int32)
+
+
 def _reflect101_pad(x: jnp.ndarray, pad: int, axis: int) -> jnp.ndarray:
-    """OpenCV BORDER_REFLECT_101 (gfedcb|abcdefgh|gfedcba)."""
-    n = x.shape[axis]
-    if n == 1:
-        # Degenerate single-sample axis: replicate.
-        reps = [1] * x.ndim
-        reps[axis] = 2 * pad + 1
-        return jnp.tile(x, reps)
-    pad_width = [(0, 0)] * x.ndim
-    pad_width[axis] = (pad, pad)
-    return jnp.pad(x, pad_width, mode="reflect")
+    """OpenCV BORDER_REFLECT_101 (gfedcb|abcdefgh|gfedcba), any pad size."""
+    idx = jnp.asarray(_reflect101_indices(x.shape[axis], pad))
+    return jnp.take(x, idx, axis=axis)
 
 
 def _conv1d_along(x: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarray:

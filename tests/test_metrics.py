@@ -1,0 +1,162 @@
+"""Metric oracles: PSNR/MSE exact, SSIM vs a NumPy port of the skimage
+algorithm (the implementation the reference calls at elvis.py:713-721)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from elvis_tpu.metrics import (
+    block_ssim_map,
+    fg_bg_ssim,
+    mask_union_bbox,
+    masked_mse,
+    masked_psnr,
+    masked_ssim,
+    ssim,
+)
+
+
+
+
+def _gauss_kernel(win, sigma=1.5):
+    r = (win - 1) // 2
+    t = np.arange(-r, r + 1)
+    k = np.exp(-0.5 * (t / sigma) ** 2)
+    return k / k.sum()
+
+
+def _filt(img, k):
+    r = (len(k) - 1) // 2
+    p = np.pad(img, ((r, r), (r, r)), mode="edge")
+    out = np.zeros_like(img, dtype=np.float64)
+    for i in range(len(k)):
+        out += k[i] * p[i : i + img.shape[0], r : r + img.shape[1]]
+    p2 = np.pad(out, ((0, 0), (r, r)), mode="edge")
+    out2 = np.zeros_like(img, dtype=np.float64)
+    for i in range(len(k)):
+        out2 += k[i] * p2[:, i : i + img.shape[1]]
+    return out2
+
+
+def _np_ssim(x, y, data_range=255.0, win=7):
+    """Wang et al. SSIM with skimage conventions (sample covariance,
+    border crop) as an independent oracle."""
+    x = x.astype(np.float64)
+    y = y.astype(np.float64)
+    k = _gauss_kernel(win)
+    ux, uy = _filt(x, k), _filt(y, k)
+    uxx, uyy, uxy = _filt(x * x, k), _filt(y * y, k), _filt(x * y, k)
+    npix = win * win
+    cn = npix / (npix - 1)
+    vx, vy, vxy = cn * (uxx - ux**2), cn * (uyy - uy**2), cn * (uxy - ux * uy)
+    c1, c2 = (0.01 * data_range) ** 2, (0.03 * data_range) ** 2
+    s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / ((ux**2 + uy**2 + c1) * (vx + vy + c2))
+    pad = (win - 1) // 2
+    return s[pad:-pad, pad:-pad].mean()
+
+
+class TestPsnrMse:
+    def test_identical_is_100db(self, tiny_video):
+        x = jnp.asarray(tiny_video)
+        p = np.asarray(masked_psnr(x, x))
+        np.testing.assert_allclose(p, 100.0)
+
+    def test_known_mse(self):
+        ref = jnp.zeros((1, 8, 8, 3))
+        dec = jnp.full((1, 8, 8, 3), 10.0)
+        assert float(masked_mse(ref, dec)[0]) == 100.0
+        want_psnr = 20 * np.log10(255 / 10.0)
+        np.testing.assert_allclose(float(masked_psnr(ref, dec)[0]), want_psnr, rtol=1e-5)
+
+    def test_mask_restricts(self, tiny_video, rng):
+        ref = jnp.asarray(tiny_video.astype(np.float32))
+        noise = rng.normal(0, 5, tiny_video.shape).astype(np.float32)
+        dec = ref + jnp.asarray(noise)
+        mask = np.zeros((5, 48, 64), dtype=bool)
+        mask[:, :24] = True  # top half only
+        got = np.asarray(masked_mse(ref, dec, jnp.asarray(mask)))
+        want = (noise[:, :24] ** 2).mean(axis=(1, 2, 3))
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_empty_mask_conventions(self, tiny_video):
+        x = jnp.asarray(tiny_video)
+        empty = jnp.zeros((5, 48, 64), dtype=bool)
+        np.testing.assert_allclose(np.asarray(masked_psnr(x, x + 5, empty)), 100.0)
+        np.testing.assert_allclose(np.asarray(masked_mse(x, x + 5, empty)), 0.0)
+
+
+class TestSsim:
+    def test_identical_is_one(self, tiny_video):
+        y = jnp.asarray(tiny_video.astype(np.float32).mean(-1))
+        np.testing.assert_allclose(np.asarray(ssim(y, y)), 1.0, atol=1e-6)
+
+    def test_matches_numpy_oracle(self, tiny_video, rng):
+        x = tiny_video[0].astype(np.float32).mean(-1)
+        y = np.clip(x + rng.normal(0, 12, x.shape), 0, 255).astype(np.float32)
+        got = float(ssim(jnp.asarray(x)[None], jnp.asarray(y)[None])[0])
+        want = _np_ssim(x, y)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_degradation_ordering(self, tiny_video):
+        """More noise -> lower SSIM."""
+        x = jnp.asarray(tiny_video.astype(np.float32).mean(-1))
+        rng = np.random.default_rng(3)
+        prev = 1.0
+        for s in (2, 8, 25):
+            y = x + jnp.asarray(rng.normal(0, s, x.shape).astype(np.float32))
+            v = float(ssim(x, y).mean())
+            assert v < prev
+            prev = v
+
+
+class TestMaskedSsim:
+    def test_bbox(self):
+        masks = np.zeros((2, 40, 60), dtype=bool)
+        masks[0, 10:20, 12:30] = True
+        masks[1, 8:18, 14:36] = True
+        x, y, w, h = mask_union_bbox(masks)
+        # union rows 8..19 (h=12), cols 12..35 (w=24); pad 1/1 each side
+        assert (x, y) == (11, 7)
+        assert (w, h) == (26, 14)
+
+    def test_empty_mask_is_one(self, tiny_video):
+        x = jnp.asarray(tiny_video)
+        empty = jnp.zeros((5, 48, 64), dtype=bool)
+        np.testing.assert_allclose(
+            np.asarray(masked_ssim(x, x + 3, empty, bbox=(0, 0, 64, 48))), 1.0
+        )
+
+    def test_mask_zeroing_affects_result(self, tiny_video, rng):
+        """Corruption outside the mask must not change masked SSIM."""
+        ref = tiny_video.astype(np.float32)
+        mask = np.zeros((5, 48, 64), dtype=bool)
+        mask[:, 16:32, 16:48] = True
+        dec_in = ref.copy()
+        dec_in[:, 16:32, 16:48] += rng.normal(0, 10, (5, 16, 32, 3)).astype(np.float32)
+        dec_out = dec_in.copy()
+        dec_out[:, :8] = 0  # corrupt outside mask (and outside bbox)
+        bbox = mask_union_bbox(mask)
+        a = np.asarray(masked_ssim(jnp.asarray(ref), jnp.asarray(dec_in), jnp.asarray(mask), bbox=bbox))
+        b = np.asarray(masked_ssim(jnp.asarray(ref), jnp.asarray(dec_out), jnp.asarray(mask), bbox=bbox))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+        assert (a < 1.0).all()
+
+
+class TestBlockSsim:
+    def test_map_shape_and_perfect_blocks(self, tiny_video, rng):
+        ref = jnp.asarray(tiny_video.astype(np.float32))
+        dec = np.asarray(ref).copy()
+        dec[:, 0:8, 0:8] += rng.normal(0, 25, (5, 8, 8, 3))  # corrupt block (0,0)
+        smap = np.asarray(block_ssim_map(ref, jnp.asarray(dec), 8))
+        assert smap.shape == (5, 6, 8)
+        np.testing.assert_allclose(smap[:, 1:, 1:], 1.0, atol=1e-6)
+        assert (smap[:, 0, 0] < 0.9).all()
+
+    def test_fg_bg_split(self, tiny_video, rng):
+        ref = jnp.asarray(tiny_video.astype(np.float32))
+        dec = np.asarray(ref).copy()
+        dec[:, :, 32:] += rng.normal(0, 20, (5, 48, 32, 3))  # corrupt right half
+        fg = np.zeros((5, 48, 64), dtype=bool)
+        fg[:, :, :32] = True  # left half is foreground
+        overall, f, b = fg_bg_ssim(ref, jnp.asarray(dec), jnp.asarray(fg), 8)
+        assert float(f) > float(b)
+        assert min(float(f), float(b)) <= float(overall) <= max(float(f), float(b))
