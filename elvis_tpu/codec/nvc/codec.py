@@ -1,0 +1,278 @@
+"""NVC codec: container, rate control, ROI — the hermetic encoder.
+
+Replaces the reference's external-encoder boundary for environments
+without codec binaries (this framework also ships gated wrappers for
+ffmpeg/x265/kvazaar/SVT-AV1 with byte-exact ROI files — see
+elvis_tpu.codec.external/roi — used when the binaries exist). NVC gives
+the pipeline an honest rate-distortion axis: real entropy-coded bits,
+per-block delta-QP ROI, intra/inter prediction, two-pass bitrate
+targeting.
+
+Layout: 4:2:0 YCbCr; 8x8 luma blocks, 8x8 chroma blocks at half
+resolution (frame dims padded to multiples of 16, original size kept in
+the header). Transform/quant/reconstruction on TPU
+(elvis_tpu.codec.nvc.transform), zigzag + entropy coding on host
+(elvis_tpu.codec.nvc.entropy, native C++ range coder).
+
+Two-pass bitrate targeting mirrors the reference's two-pass x265 recipe
+(elvis.py:1226-1322) at the rate-model level: pass 1 probes bits(QP),
+pass 2 encodes at QP shifted by the standard ~6 QP per bits-doubling law,
+with one refinement probe when the miss exceeds 15%.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from elvis_tpu.codec.nvc import entropy
+from elvis_tpu.codec.nvc.transform import (
+    BLOCK,
+    decode_plane,
+    encode_plane,
+    zigzag_order,
+)
+from elvis_tpu.ops.color import rgb_to_yuv420, yuv420_to_rgb
+from elvis_tpu.ops.resize import resize
+
+__all__ = ["NvcCodec", "NvcStream", "encode", "decode"]
+
+_MAGIC = b"NVC1"
+_PAD = 2 * BLOCK  # luma pad so chroma planes are whole-block too
+
+
+def _pad_to(x: np.ndarray, mult: int) -> np.ndarray:
+    n, h, w, c = x.shape
+    ph = (-h) % mult
+    pw = (-w) % mult
+    if ph or pw:
+        x = np.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+    return x
+
+
+@dataclasses.dataclass
+class NvcStream:
+    """Decoded header info (for tooling/tests)."""
+
+    width: int
+    height: int
+    num_frames: int
+    framerate: float
+    base_qp: int
+    has_roi: bool
+    size_bytes: int
+
+
+def _qp_maps(
+    n: int, by: int, bx: int, base_qp: int, roi_delta_qp: Optional[np.ndarray]
+) -> np.ndarray:
+    qp = np.full((n, by, bx), base_qp, dtype=np.int32)
+    if roi_delta_qp is not None:
+        d = np.asarray(roi_delta_qp)
+        if d.shape[1:] != (by, bx):
+            d = np.stack(
+                [
+                    np.asarray(
+                        resize(jnp.asarray(d[i].astype(np.float32)), (by, bx), method="area")
+                    )
+                    for i in range(d.shape[0])
+                ]
+            )
+        qp = qp + np.clip(np.round(d), -14, 14).astype(np.int32)  # kvazaar-style clamp
+    return np.clip(qp, 0, 51)
+
+
+def _chroma_qp(luma_qp: np.ndarray) -> np.ndarray:
+    """Chroma grid is half the luma grid: area-reduce the QP map."""
+    n, by, bx = luma_qp.shape
+    q = luma_qp.reshape(n, by // 2, 2, bx // 2, 2).mean(axis=(2, 4))
+    return np.clip(np.round(q), 0, 51).astype(np.int32)
+
+
+_decode_plane_jit = jax.jit(decode_plane, static_argnums=(3, 4))
+
+
+@jax.jit
+def _encode_planes_jit(y, cb, cr, qp_y, qp_c):
+    ly, my, _ = encode_plane(y, qp_y)
+    lcb, mcb, _ = encode_plane(cb, qp_c)
+    lcr, mcr, _ = encode_plane(cr, qp_c)
+    return ly, my, lcb, mcb, lcr, mcr
+
+
+def _pack_section(backend: int, payload: bytes) -> bytes:
+    return struct.pack("<BI", backend, len(payload)) + payload
+
+
+def _unpack_section(buf: memoryview, off: int) -> Tuple[int, bytes, int]:
+    backend, ln = struct.unpack_from("<BI", buf, off)
+    off += 5
+    return backend, bytes(buf[off : off + ln]), off + ln
+
+
+def encode(
+    frames: np.ndarray,
+    *,
+    qp: int = 32,
+    framerate: float = 30.0,
+    roi_delta_qp: Optional[np.ndarray] = None,
+    gop: int = 0,
+) -> bytes:
+    """frames ``(N, H, W, 3)`` uint8 RGB -> NVC bitstream bytes."""
+    frames = np.asarray(frames)
+    n, orig_h, orig_w, _ = frames.shape
+    padded = _pad_to(frames, _PAD)
+    h, w = padded.shape[1], padded.shape[2]
+
+    y, cb, cr = rgb_to_yuv420(jnp.asarray(padded).astype(jnp.float32))
+    by, bx = h // BLOCK, w // BLOCK
+    qp_y = _qp_maps(n, by, bx, qp, roi_delta_qp)
+    qp_c = _chroma_qp(qp_y)
+
+    ly, my, lcb, mcb, lcr, mcr = map(
+        np.asarray,
+        _encode_planes_jit(y, cb, cr, jnp.asarray(qp_y), jnp.asarray(qp_c)),
+    )
+    ly, lcb, lcr = (a.astype(np.int16) for a in (ly, lcb, lcr))
+
+    zz = zigzag_order(BLOCK)
+    header = _MAGIC + struct.pack(
+        "<BBHHHfbH",
+        1,  # version
+        1 if roi_delta_qp is not None else 0,
+        orig_w,
+        orig_h,
+        n,
+        float(framerate),
+        int(qp),
+        int(gop),
+    )
+    parts = [header]
+    if roi_delta_qp is not None:
+        # store the final luma QP map (already clamped) as uint8
+        bk, pl = entropy.encode_bytes(qp_y.astype(np.uint8))
+        parts.append(_pack_section(bk, pl))
+    for levels, modes in ((ly, my), (lcb, mcb), (lcr, mcr)):
+        bk_m, pl_m = entropy.encode_bytes(modes.astype(np.uint8))
+        parts.append(_pack_section(bk_m, pl_m))
+        coeff_zz = levels.reshape(-1, BLOCK * BLOCK)[:, zz]
+        bk_c, pl_c = entropy.encode_coeffs(coeff_zz, BLOCK * BLOCK)
+        parts.append(_pack_section(bk_c, pl_c))
+    return b"".join(parts)
+
+
+def decode(stream: bytes) -> Tuple[np.ndarray, float]:
+    """NVC bitstream -> (frames (N,H,W,3) uint8 RGB, framerate)."""
+    assert stream[:4] == _MAGIC, "not an NVC stream"
+    version, has_roi, orig_w, orig_h, n, fps, base_qp, gop = struct.unpack_from(
+        "<BBHHHfbH", stream, 4
+    )
+    off = 4 + struct.calcsize("<BBHHHfbH")
+    buf = memoryview(stream)
+
+    h = orig_h + ((-orig_h) % _PAD)
+    w = orig_w + ((-orig_w) % _PAD)
+    by, bx = h // BLOCK, w // BLOCK
+    cby, cbx = by // 2, bx // 2
+
+    if has_roi:
+        bk, pl, off = _unpack_section(buf, off)
+        qp_y = entropy.decode_bytes(bk, pl, n * by * bx).reshape(n, by, bx).astype(np.int32)
+    else:
+        qp_y = np.full((n, by, bx), base_qp, dtype=np.int32)
+    qp_c = _chroma_qp(qp_y)
+
+    zz = zigzag_order(BLOCK)
+    inv = np.empty_like(zz)
+    inv[zz] = np.arange(zz.size)
+
+    planes = []
+    for by_, bx_ in ((by, bx), (cby, cbx), (cby, cbx)):
+        bk_m, pl_m, off = _unpack_section(buf, off)
+        modes = entropy.decode_bytes(bk_m, pl_m, n * by_ * bx_).reshape(n, by_, bx_)
+        bk_c, pl_c, off = _unpack_section(buf, off)
+        flat = entropy.decode_coeffs(bk_c, pl_c, n * by_ * bx_ * BLOCK * BLOCK, BLOCK * BLOCK)
+        levels = flat.reshape(-1, BLOCK * BLOCK)[:, inv].reshape(n, by_, bx_, BLOCK * BLOCK)
+        planes.append((levels, modes.astype(np.int8)))
+
+    (ly, my), (lcb, mcb), (lcr, mcr) = planes
+    # host->device as float32 (int16 transfers are pathologically slow here)
+    as_f32 = lambda a: jnp.asarray(a.astype(np.float32))
+    y = _decode_plane_jit(as_f32(ly), jnp.asarray(my), jnp.asarray(qp_y), h, w)
+    cb = _decode_plane_jit(as_f32(lcb), jnp.asarray(mcb), jnp.asarray(qp_c), h // 2, w // 2)
+    cr = _decode_plane_jit(as_f32(lcr), jnp.asarray(mcr), jnp.asarray(qp_c), h // 2, w // 2)
+    rgb = yuv420_to_rgb(y, cb, cr)
+    rgb = jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
+    return np.asarray(rgb[:, :orig_h, :orig_w]), float(fps)
+
+
+class NvcCodec:
+    """High-level codec with two-pass bitrate targeting."""
+
+    name = "nvc"
+
+    def probe(self, stream: bytes) -> NvcStream:
+        version, has_roi, orig_w, orig_h, n, fps, base_qp, gop = struct.unpack_from(
+            "<BBHHHfbH", stream, 4
+        )
+        return NvcStream(orig_w, orig_h, n, fps, base_qp, bool(has_roi), len(stream))
+
+    def encode(
+        self,
+        frames: np.ndarray,
+        *,
+        qp: Optional[int] = None,
+        target_bitrate: Optional[float] = None,
+        framerate: float = 30.0,
+        roi_delta_qp: Optional[np.ndarray] = None,
+        gop: int = 0,
+    ) -> bytes:
+        if (qp is None) == (target_bitrate is None):
+            raise ValueError("specify exactly one of qp / target_bitrate")
+        if qp is not None:
+            return encode(
+                frames, qp=qp, framerate=framerate, roi_delta_qp=roi_delta_qp, gop=gop
+            )
+
+        n = frames.shape[0]
+        duration = n / framerate
+        target_bits = target_bitrate * duration
+
+        qp_probe = 32
+        stream = encode(
+            frames, qp=qp_probe, framerate=framerate, roi_delta_qp=roi_delta_qp, gop=gop
+        )
+        bits = len(stream) * 8
+        # bits roughly halve per +6 QP
+        qp_est = int(np.clip(round(qp_probe + 6 * np.log2(bits / target_bits)), 0, 51))
+        if qp_est == qp_probe:
+            return stream
+        stream = encode(
+            frames, qp=qp_est, framerate=framerate, roi_delta_qp=roi_delta_qp, gop=gop
+        )
+        bits2 = len(stream) * 8
+        if abs(bits2 - target_bits) / target_bits > 0.15:
+            # one refinement step using the locally measured slope
+            # bits(q) ~ bits0 * 2^(slope*(q-q0)), slope ~ -1/6
+            if bits2 != bits and qp_est != qp_probe:
+                slope = np.log2(bits2 / bits) / (qp_est - qp_probe)
+                slope = slope if slope < -1e-3 else -1 / 6
+            else:
+                slope = -1 / 6
+            qp_ref = int(
+                np.clip(round(qp_est + np.log2(target_bits / bits2) / slope), 0, 51)
+            )
+            if qp_ref != qp_est:
+                stream = encode(
+                    frames, qp=qp_ref, framerate=framerate,
+                    roi_delta_qp=roi_delta_qp, gop=gop,
+                )
+        return stream
+
+    def decode(self, stream: bytes) -> Tuple[np.ndarray, float]:
+        return decode(stream)

@@ -1,0 +1,139 @@
+"""NVC transform/quantization stage — the on-TPU half of the codec.
+
+Per 8x8 block: DCT (MXU matmuls, elvis_tpu.ops.dct) -> uniform scalar
+quantization with per-block QP (H.264-style Qstep = 2^((QP-4)/6)) ->
+int16 levels. P-frames choose per block between intra (transform the
+pixels) and inter (transform the residual against the previous
+*reconstructed* frame, zero motion) by quantized-coefficient cost; the
+encoder runs the same reconstruction the decoder will, as a ``lax.scan``
+over the frame axis, so there is no drift.
+
+Per-block QP is the codec's native ROI mechanism: the delta-QP map the
+reference feeds to kvazaar/x265/SVT-AV1 through sidecar files
+(utils.py:1026, elvis.py:2030) is here simply an argument to the
+quantizer.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from elvis_tpu.core.blocks import combine_blocks, split_into_blocks
+from elvis_tpu.ops.dct import block_dct2, block_idct2
+
+__all__ = [
+    "qstep_from_qp",
+    "zigzag_order",
+    "encode_plane",
+    "decode_plane",
+    "MODE_INTRA",
+    "MODE_INTER",
+]
+
+BLOCK = 8
+MODE_INTRA = 0
+MODE_INTER = 1
+
+
+def qstep_from_qp(qp: jnp.ndarray) -> jnp.ndarray:
+    return jnp.exp2((qp.astype(jnp.float32) - 4.0) / 6.0)
+
+
+@functools.lru_cache(maxsize=8)
+def zigzag_order(b: int = BLOCK) -> np.ndarray:
+    """Flat indices of a b x b block in JPEG zigzag order."""
+    idx = sorted(
+        ((u, v) for u in range(b) for v in range(b)),
+        key=lambda uv: (uv[0] + uv[1], uv[1] if (uv[0] + uv[1]) % 2 == 0 else uv[0]),
+    )
+    return np.asarray([u * b + v for u, v in idx], dtype=np.int32)
+
+
+def _blocks_of(plane: jnp.ndarray) -> jnp.ndarray:
+    """``(H, W)`` -> ``(By, Bx, 8, 8)``."""
+    return split_into_blocks(plane[..., None], BLOCK)[..., 0]
+
+
+def _plane_of(blocks: jnp.ndarray) -> jnp.ndarray:
+    return combine_blocks(blocks[..., None])[..., 0]
+
+
+def _quantize(coeffs: jnp.ndarray, qstep: jnp.ndarray) -> jnp.ndarray:
+    # qstep (By,Bx) -> broadcast over (By,Bx,8,8); round-half-away deadzone-free
+    q = jnp.round(coeffs / qstep[..., None, None])
+    return jnp.clip(q, -32767, 32767).astype(jnp.int16)
+
+
+def _dequantize(levels: jnp.ndarray, qstep: jnp.ndarray) -> jnp.ndarray:
+    return levels.astype(jnp.float32) * qstep[..., None, None]
+
+
+def encode_plane(plane: jnp.ndarray, qp_map: jnp.ndarray, gop: int = 0):
+    """plane ``(N, H, W)`` float32 [0,255]; qp_map ``(N, By, Bx)`` int.
+
+    Returns (levels (N,By,Bx,64) int16 in raster coefficient order,
+    modes (N,By,Bx) int8, recon (N,H,W) float32).
+
+    ``gop``: intra-frame period (0 = only frame 0 is intra).
+    """
+    n, h, w = plane.shape
+    qstep = qstep_from_qp(qp_map)  # (N,By,Bx)
+    frames_blocks = jax.vmap(_blocks_of)(plane)  # (N,By,Bx,8,8)
+
+    t_idx = jnp.arange(n)
+    force_intra = (t_idx == 0) if gop <= 0 else (t_idx % gop == 0)
+
+    def step(recon_prev, inputs):
+        blocks, qs, intra_only = inputs
+        pred = _blocks_of(recon_prev)  # (By,Bx,8,8)
+
+        res_inter = blocks - pred
+        lv_intra = _quantize(block_dct2(blocks), qs)
+        lv_inter = _quantize(block_dct2(res_inter), qs)
+
+        cost_intra = jnp.abs(lv_intra).sum(axis=(-2, -1))
+        cost_inter = jnp.abs(lv_inter).sum(axis=(-2, -1))
+        use_inter = jnp.logical_and(cost_inter <= cost_intra, ~intra_only)
+
+        lv = jnp.where(use_inter[..., None, None], lv_inter, lv_intra)
+        rec_res = block_idct2(_dequantize(lv, qs))
+        rec = jnp.where(use_inter[..., None, None], rec_res + pred, rec_res)
+        rec = jnp.clip(rec, 0.0, 255.0)
+        recon = _plane_of(rec)
+        return recon, (lv, use_inter.astype(jnp.int8), recon)
+
+    init = jnp.zeros((h, w), dtype=jnp.float32)
+    _, (levels, modes, recons) = jax.lax.scan(
+        step, init, (frames_blocks, qstep, force_intra)
+    )
+    by, bx = levels.shape[1], levels.shape[2]
+    # float32 return: int16 device->host transfers are pathologically slow
+    # on this TPU runtime (~3 orders of magnitude); values are exact in f32.
+    return levels.reshape(n, by, bx, BLOCK * BLOCK).astype(jnp.float32), modes, recons
+
+
+def decode_plane(
+    levels: jnp.ndarray, modes: jnp.ndarray, qp_map: jnp.ndarray, h: int, w: int
+) -> jnp.ndarray:
+    """Inverse of encode_plane: levels ``(N,By,Bx,64)``, modes
+    ``(N,By,Bx)``, qp_map ``(N,By,Bx)`` -> plane ``(N,H,W)`` float32."""
+    n, by, bx, _ = levels.shape
+    qstep = qstep_from_qp(qp_map)
+    lv = levels.reshape(n, by, bx, BLOCK, BLOCK).astype(jnp.float32)
+
+    def step(recon_prev, inputs):
+        lvl, mode, qs = inputs
+        pred = _blocks_of(recon_prev)
+        rec_res = block_idct2(lvl * qs[..., None, None])
+        rec = jnp.where((mode == MODE_INTER)[..., None, None], rec_res + pred, rec_res)
+        rec = jnp.clip(rec, 0.0, 255.0)
+        recon = _plane_of(rec)
+        return recon, recon
+
+    init = jnp.zeros((h, w), dtype=jnp.float32)
+    _, recons = jax.lax.scan(step, init, (lv, modes, qstep))
+    return recons

@@ -1,0 +1,269 @@
+"""Codec boundary tests: byte-exact ROI files, NVC codec, sidecars, Y4M,
+and external-encoder argv recipes via the fake-codec shim."""
+
+import json
+import os
+import struct
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from elvis_tpu.codec import (
+    NvcCodec,
+    QUALITY_PRESETS,
+    calculate_target_bitrate,
+    decode_strength_maps,
+    encode_strength_maps,
+    load_removal_masks_npz,
+    read_y4m,
+    save_removal_masks_npz,
+    select_ctu_size,
+    write_kvazaar_roi,
+    write_svtav1_roi,
+    write_x265_qpfile,
+    write_y4m,
+)
+from elvis_tpu.codec.nvc import entropy
+
+
+class TestEntropy:
+    def test_native_available(self):
+        assert entropy.native_available(), "C++ range coder must build in CI"
+
+    def test_coeff_roundtrip_extremes(self, rng):
+        c = np.zeros(64 * 32, dtype=np.int16)
+        c[0] = 32767
+        c[1] = -32767
+        c[64] = 1
+        c[-1] = -1
+        bk, pl = entropy.encode_coeffs(c, 64)
+        np.testing.assert_array_equal(entropy.decode_coeffs(bk, pl, c.size, 64), c)
+
+    def test_compresses_sparse_data(self, rng):
+        c = (rng.standard_normal(64 * 256) * 2).astype(np.int16)
+        c[rng.random(c.size) < 0.8] = 0
+        bk, pl = entropy.encode_coeffs(c, 64)
+        assert len(pl) < c.size * 2 * 0.25  # at least 4x vs raw int16
+
+    def test_all_zero_blocks_tiny(self):
+        c = np.zeros(64 * 1024, dtype=np.int16)
+        bk, pl = entropy.encode_coeffs(c, 64)
+        assert len(pl) < 200
+
+    def test_bytes_roundtrip(self, rng):
+        b = rng.integers(0, 255, 5000).astype(np.uint8)
+        bk, pl = entropy.encode_bytes(b)
+        np.testing.assert_array_equal(entropy.decode_bytes(bk, pl, b.size), b)
+
+
+def _oracle_kvazaar_roi(importance_scores, base_qp, qp_range):
+    """Direct port of utils.py:1026-1053."""
+    out = b""
+    for importance in importance_scores:
+        h, w = importance.shape
+        out += np.array([w, h], dtype=np.int32).tobytes()
+        dqp = (1.0 - importance) * 2 * qp_range - qp_range
+        dqp = np.clip(dqp, -14, 14)
+        dqp = np.clip(dqp, 0 - base_qp, 51 - base_qp)
+        out += dqp.astype(np.int8).tobytes()
+    return out
+
+
+def _oracle_svtav1_lines(importance_scores, base_crf, qp_range, rows, cols):
+    """utils.py:1074-1092 with pre-gridded maps (no resize needed)."""
+    lines = []
+    for idx, imp in enumerate(importance_scores):
+        levels = np.clip((imp * 8).astype(np.int32), 0, 7)
+        dqp = qp_range - (levels * 2 * qp_range // 7)
+        dqp = np.clip(dqp, 0 - base_crf, 63 - base_crf)
+        lines.append(f"{idx} " + " ".join(map(str, dqp.flatten().astype(int))))
+    return lines
+
+
+class TestRoiFiles:
+    def test_kvazaar_byte_exact(self, tmp_path, rng):
+        scores = [rng.random((4, 6)) for _ in range(3)]
+        p = tmp_path / "roi.bin"
+        write_kvazaar_roi(str(p), scores, base_qp=48, qp_range=15)
+        assert p.read_bytes() == _oracle_kvazaar_roi(scores, 48, 15)
+
+    def test_kvazaar_format_structure(self, tmp_path):
+        imp = np.array([[1.0, 0.0]])
+        p = tmp_path / "roi.bin"
+        write_kvazaar_roi(str(p), [imp], base_qp=30, qp_range=15)
+        blob = p.read_bytes()
+        w, h = struct.unpack("<ii", blob[:8])
+        assert (w, h) == (2, 1)
+        dqp = np.frombuffer(blob[8:], dtype=np.int8)
+        # imp=1 -> -15 clamped to -14; imp=0 -> +15 clamped to +14
+        np.testing.assert_array_equal(dqp, [-14, 14])
+
+    def test_svtav1_line_exact(self, tmp_path, rng):
+        rows, cols = 2, 3  # pretend 128x192 at 64px superblocks
+        scores = [rng.random((rows, cols)).astype(np.float32) for _ in range(2)]
+        p = tmp_path / "roi.txt"
+        write_svtav1_roi(str(p), scores, base_crf=35, qp_range=15, width=192, height=128)
+        got = p.read_text().strip().split("\n")
+        assert got == _oracle_svtav1_lines(scores, 35, 15, rows, cols)
+
+    def test_ctu_selection(self):
+        # elvis.py:2032-2052 semantics
+        assert select_ctu_size(16, 1280, 720) == 16
+        assert select_ctu_size(8, 1280, 720) == 16
+        # nearest(24) ties to 16, but 16 < block_size forces the next size up
+        assert select_ctu_size(24, 1280, 720) == 32
+        assert select_ctu_size(33, 1280, 720) == 64  # 32 < 33 -> next size up
+        assert select_ctu_size(16, 3840, 2160) == 32
+        assert select_ctu_size(16, 7680, 4320) == 64
+
+    def test_qpfile_lines(self, tmp_path):
+        scores = np.stack([np.full((2, 2), 0.0), np.full((2, 2), 1.0)])
+        p = tmp_path / "qpfile.txt"
+        ctu = write_x265_qpfile(str(p), scores, block_size=16, width=32, height=32)
+        assert ctu == 16
+        lines = p.read_text().strip().split("\n")
+        assert lines[0] == "0 P -1 0,0,-1.0000 1,0,-1.0000 0,1,-1.0000 1,1,-1.0000"
+        assert lines[1] == "1 P -1 0,0,1.0000 1,0,1.0000 0,1,1.0000 1,1,1.0000"
+
+
+class TestNvc:
+    def test_roundtrip_quality_ladder(self, tiny_video):
+        codec = NvcCodec()
+        prev_size, prev_mse = None, None
+        for qp in (12, 28, 44):
+            stream = codec.encode(tiny_video, qp=qp, framerate=24.0)
+            dec, fps = codec.decode(stream)
+            assert fps == 24.0
+            assert dec.shape == tiny_video.shape and dec.dtype == np.uint8
+            mse = float(np.mean((dec.astype(np.float64) - tiny_video.astype(np.float64)) ** 2))
+            if prev_size is not None:
+                assert len(stream) < prev_size  # higher qp -> fewer bits
+                assert mse > prev_mse  # ... and more distortion
+            prev_size, prev_mse = len(stream), mse
+
+    def test_probe_header(self, tiny_video):
+        codec = NvcCodec()
+        stream = codec.encode(tiny_video, qp=30, framerate=24.0)
+        info = codec.probe(stream)
+        assert (info.width, info.height, info.num_frames) == (64, 48, 5)
+        assert info.framerate == 24.0 and not info.has_roi
+
+    def test_bitrate_targeting(self, tiny_video):
+        codec = NvcCodec()
+        target = 150_000
+        stream = codec.encode(tiny_video, target_bitrate=target, framerate=24.0)
+        actual = len(stream) * 8 / (5 / 24.0)
+        assert 0.4 * target < actual < 2.5 * target
+
+    def test_roi_shifts_quality(self, tiny_video):
+        codec = NvcCodec()
+        delta = np.full((5, 6, 8), 8, dtype=np.int8)
+        delta[:, 2:4, 3:5] = -8
+        stream = codec.encode(tiny_video, qp=32, framerate=24.0, roi_delta_qp=delta)
+        info = codec.probe(stream)
+        assert info.has_roi
+        dec, _ = codec.decode(stream)
+        err = (dec.astype(np.float64) - tiny_video.astype(np.float64)) ** 2
+        err_blocks = err.reshape(5, 6, 8, 8, 8, 3).mean(axis=(3, 4, 5))
+        roi_err = err_blocks[:, 2:4, 3:5].mean()
+        rest = (err_blocks.sum() - err_blocks[:, 2:4, 3:5].sum()) / (5 * 6 * 8 - 5 * 4)
+        assert roi_err < rest
+
+    def test_inter_prediction_helps_static_clips(self, rng):
+        frame = (rng.random((48, 64, 3)) * 255).astype(np.uint8)
+        static = np.stack([frame] * 6)
+        moving = np.stack([np.roll(frame, 7 * t, axis=1) for t in range(6)])
+        codec = NvcCodec()
+        s_static = codec.encode(static, qp=28, framerate=24.0)
+        s_moving = codec.encode(moving, qp=28, framerate=24.0)
+        assert len(s_static) < 0.5 * len(s_moving)
+
+    def test_non_multiple_of_16_dims(self, rng):
+        clip = (rng.random((3, 50, 70, 3)) * 255).astype(np.uint8)
+        codec = NvcCodec()
+        dec, _ = codec.decode(codec.encode(clip, qp=28, framerate=30.0))
+        assert dec.shape == clip.shape
+
+
+class TestSidecars:
+    def test_strength_maps_roundtrip(self, rng):
+        maps = rng.integers(0, 11, (7, 6, 8)).astype(np.uint8)
+        blob = encode_strength_maps(maps)
+        np.testing.assert_array_equal(decode_strength_maps(blob), maps)
+        assert len(blob) < maps.size
+
+    def test_removal_masks_roundtrip(self, tmp_path, rng):
+        masks = rng.random((7, 6, 8)) > 0.7
+        p = tmp_path / "masks.npz"
+        save_removal_masks_npz(masks, str(p))
+        np.testing.assert_array_equal(load_removal_masks_npz(str(p)), masks)
+
+
+class TestY4m:
+    def test_roundtrip(self, tmp_path, tiny_video):
+        p = tmp_path / "clip.y4m"
+        write_y4m(tiny_video, str(p), 24.0)
+        frames, fps = read_y4m(str(p))
+        assert fps == 24.0
+        assert frames.shape == tiny_video.shape
+        # 4:2:0 chroma subsampling: luma near-exact
+        from elvis_tpu.ops.color import rgb_to_gray
+
+        g0 = np.asarray(rgb_to_gray(jnp.asarray(tiny_video.astype(np.float32))))
+        g1 = np.asarray(rgb_to_gray(jnp.asarray(frames.astype(np.float32))))
+        assert np.abs(g0 - g1).mean() < 2.5
+
+    def test_header_format(self, tmp_path, tiny_video):
+        p = tmp_path / "clip.y4m"
+        write_y4m(tiny_video[:1], str(p), 23.976)
+        header = p.read_bytes().split(b"\n")[0]
+        assert header == b"YUV4MPEG2 W64 H48 F23976:1000 Ip A1:1 C420"
+
+
+class TestExternalShim:
+    def test_x265_two_pass_argv(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("ELVIS_TPU_FAKE_CODECS", str(tmp_path / "fake"))
+        from elvis_tpu.codec.external import encode_video_x265
+
+        out = tmp_path / "out.mp4"
+        encode_video_x265(str(tmp_path / "frames"), str(out), 24.0, 640, 360,
+                          target_bitrate=1_000_000, ctu=32, qpfile="qp.txt")
+        argv = [json.loads(l) for l in (tmp_path / "fake" / "argv.jsonl").read_text().splitlines()]
+        assert len(argv) == 2
+        p1, p2 = argv
+        assert p1[0] == "ffmpeg" and "-b:v" in p1 and "1000000" in p1
+        assert "-minrate" in p1 and "900000" in p1 and "1100000" in p1
+        x265_1 = p1[p1.index("-x265-params") + 1]
+        assert "pass=1" in x265_1 and "qpfile" not in x265_1 and "ctu=32" in x265_1
+        x265_2 = p2[p2.index("-x265-params") + 1]
+        assert "pass=2" in x265_2 and "qpfile=qp.txt" in x265_2
+        assert p2[-1] == str(out) and out.exists()
+
+    def test_kvazaar_pipeline_argv(self, tmp_path, monkeypatch, rng):
+        monkeypatch.setenv("ELVIS_TPU_FAKE_CODECS", str(tmp_path / "fake"))
+        from elvis_tpu.codec.external import encode_kvazaar
+
+        frames = [(rng.random((32, 32, 3)) * 255).astype(np.uint8)]
+        scores = [rng.random((2, 2))]
+        out = tmp_path / "video.mp4"
+        encode_kvazaar(frames, str(out), 24.0, qp=35, importance_scores=scores)
+        argv = [json.loads(l) for l in (tmp_path / "fake" / "argv.jsonl").read_text().splitlines()]
+        tools = [a[0] for a in argv]
+        assert tools == ["kvazaar", "mkvmerge", "ffmpeg"]
+        assert "--roi" in argv[0] and "-q" in argv[0]
+        assert "--default-duration" in argv[1] and "0:24fps" in argv[1]
+        assert "copy" in argv[2]
+
+
+class TestPresetsAndBitrate:
+    def test_presets_match_reference_values(self):
+        # utils.py:54-60
+        assert QUALITY_PRESETS["high"]["kvazaar_qp"] == 30
+        assert QUALITY_PRESETS["medium"]["kvazaar_qp"] == 35
+        assert QUALITY_PRESETS["low"]["kvazaar_qp"] == 38
+        assert QUALITY_PRESETS["lowest"]["kvazaar_qp"] == 42
+
+    def test_bitrate_model(self):
+        # elvis.py:857-862: W*H*fps*0.01*qf
+        assert calculate_target_bitrate(640, 360, 30, 1.2) == int(640 * 360 * 30 * 0.012)
