@@ -1,0 +1,14 @@
+from elvis_tpu.models.srnet import SRNet, srnet_upsample_fn
+from elvis_tpu.models.deblur_unet import DeblurUNet
+from elvis_tpu.models.inpaint_net import InpaintNet
+from elvis_tpu.models.saliency_net import SaliencyNet
+from elvis_tpu.models.diffusion import DiffusionRestorer
+
+__all__ = [
+    "DeblurUNet",
+    "DiffusionRestorer",
+    "InpaintNet",
+    "SRNet",
+    "SaliencyNet",
+    "srnet_upsample_fn",
+]

@@ -1,0 +1,105 @@
+"""SRNet — the flagship 2x super-resolution network (ESRGAN-class slot).
+
+Fills the Real-ESRGAN position in the reference (RRDBNet instantiation at
+elvis.py:2384-2493; progressive 2x loop at elvis.py:2522) and the SinSR
+position of the reference README's "ELVIS v2". Architecture is an
+RRDB-style residual-in-residual dense CNN redesigned TPU-first:
+
+  * NHWC channels-last layout (TPU conv native layout);
+  * bfloat16 activations/weights with float32 residual accumulation —
+    convs land on the MXU at full tile occupancy;
+  * channel widths kept multiples of 128 lanes' friendly sizes;
+  * predicts the residual over a bilinear 2x base, so an untrained or
+    lightly-trained model degrades gracefully to bilinear instead of
+    garbage (the hermetic-default principle, SURVEY.md §7.3 item 5);
+  * tensor-parallel-ready: every conv kernel's output-channel axis can be
+    sharded on a 'tensor' mesh axis (see elvis_tpu.train.trainer
+    partition rules).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from elvis_tpu.ops.resize import resize
+
+__all__ = ["SRNet", "srnet_upsample_fn"]
+
+
+class DenseBlock(nn.Module):
+    features: int
+    growth: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        inp = x
+        feats = [x]
+        for i in range(3):
+            h = nn.Conv(self.growth, (3, 3), dtype=self.dtype, name=f"conv{i}")(
+                jnp.concatenate(feats, axis=-1)
+            )
+            h = nn.leaky_relu(h, 0.2)
+            feats.append(h)
+        out = nn.Conv(self.features, (3, 3), dtype=self.dtype, name="fuse")(
+            jnp.concatenate(feats, axis=-1)
+        )
+        return inp + 0.2 * out
+
+
+class RRDB(nn.Module):
+    features: int
+    growth: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        h = x
+        for i in range(2):
+            h = DenseBlock(self.features, self.growth, self.dtype, name=f"db{i}")(h)
+        return x + 0.2 * h
+
+
+class SRNet(nn.Module):
+    """2x super-resolution: ``(N, H, W, 3) float32 [0,255] -> (N, 2H, 2W, 3)``."""
+
+    features: int = 64
+    growth: int = 32
+    num_blocks: int = 6
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        base = resize(x, (x.shape[-3] * 2, x.shape[-2] * 2), method="linear")
+        h = (x.astype(jnp.float32) / 127.5 - 1.0).astype(self.dtype)
+        h = nn.Conv(self.features, (3, 3), dtype=self.dtype, name="head")(h)
+        skip = h
+        for i in range(self.num_blocks):
+            h = RRDB(self.features, self.growth, self.dtype, name=f"rrdb{i}")(h)
+        h = nn.Conv(self.features, (3, 3), dtype=self.dtype, name="body_out")(h)
+        h = skip + h
+        # 2x pixel shuffle upsample
+        h = nn.Conv(self.features * 4, (3, 3), dtype=self.dtype, name="up")(h)
+        n, hh, ww, c = h.shape
+        h = h.reshape(n, hh, ww, 2, 2, c // 4)
+        h = h.transpose(0, 1, 3, 2, 4, 5).reshape(n, hh * 2, ww * 2, c // 4)
+        h = nn.leaky_relu(h, 0.2)
+        residual = nn.Conv(3, (3, 3), dtype=jnp.float32, kernel_init=nn.initializers.zeros, name="tail")(
+            h.astype(jnp.float32)
+        )
+        return jnp.clip(base.astype(jnp.float32) + 127.5 * residual, 0.0, 255.0)
+
+
+def srnet_upsample_fn(model: SRNet, params):
+    """Adapter: (frames) -> 2x frames, for the progressive restore loop's
+    ``upsample_fn`` slot (elvis_tpu.restore.progressive)."""
+
+    @jax.jit
+    def up(frames):
+        return model.apply(params, frames.astype(jnp.float32))
+
+    return up

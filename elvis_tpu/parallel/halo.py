@@ -1,0 +1,110 @@
+"""Halo exchange: temporal overlap and spatial tiling on the mesh.
+
+The reference's sequence-length scaling story (SURVEY.md §5.7) is temporal
+chunking with overlap: each GPU worker receives its frame chunk PLUS
+``chunk_overlap`` neighbour frames staged through temp dirs, processes the
+expanded chunk, and the merger trims the overlap (ProPainter
+elvis.py:1506-1566, E2FGVI elvis.py:1864-1906, generic cross-fade
+utils.py:224-309). Its spatial counterpart is feathered tile blending
+(utils.py:176-326).
+
+Here both are one ``shard_map`` + ``jax.lax.ppermute``: neighbouring
+shards exchange boundary frames (or rows) over ICI instead of the
+filesystem, windowed models see real context, and no frame is recomputed.
+Global clip edges are padded by edge replication (the same context the
+reference gives its first/last chunks).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+__all__ = ["temporal_map_overlap", "spatial_tile_map"]
+
+
+def _exchange_halo(local: jnp.ndarray, overlap: int, axis_name: str, dim: int):
+    """Return (left_halo, right_halo) for this shard along array dim,
+    fetched from ring neighbours; global edges get edge-replication."""
+    n_dev = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+
+    def take(arr, sl):
+        sls = [slice(None)] * arr.ndim
+        sls[dim] = sl
+        return arr[tuple(sls)]
+
+    my_head = take(local, slice(0, overlap))
+    my_tail = take(local, slice(local.shape[dim] - overlap, local.shape[dim]))
+
+    # left halo: previous shard's tail (shift right around the ring)
+    left = jax.lax.ppermute(my_tail, axis_name, [((i - 1) % n_dev, i) for i in range(n_dev)])
+    # right halo: next shard's head
+    right = jax.lax.ppermute(my_head, axis_name, [((i + 1) % n_dev, i) for i in range(n_dev)])
+
+    # Edge shards: replicate own boundary instead of wrapping around.
+    first = take(local, slice(0, 1))
+    last = take(local, slice(local.shape[dim] - 1, local.shape[dim]))
+    reps = [1] * local.ndim
+    reps[dim] = overlap
+    left = jnp.where(idx == 0, jnp.tile(first, reps), left)
+    right = jnp.where(idx == n_dev - 1, jnp.tile(last, reps), right)
+    return left, right
+
+
+def temporal_map_overlap(
+    fn: Callable[[jnp.ndarray], jnp.ndarray],
+    frames: jnp.ndarray,
+    mesh: Mesh,
+    overlap: int,
+    axis: str = "data",
+) -> jnp.ndarray:
+    """Apply a windowed temporal model per shard with halo context.
+
+    ``fn`` maps ``(n_local + 2*overlap, H, W, C) -> same shape``; output
+    keeps only each shard's own n_local frames (overlap trimmed, like the
+    reference's chunk merger at elvis.py:1650-1657). N must be divisible
+    by the mesh axis size (use parallel.mesh.shard_frames to pad).
+    """
+    n = frames.shape[0]
+    n_dev = mesh.shape[axis]
+    assert n % n_dev == 0, f"frames {n} not divisible by mesh axis {n_dev}"
+
+    def shard_fn(local):
+        left, right = _exchange_halo(local, overlap, axis, dim=0)
+        extended = jnp.concatenate([left, local, right], axis=0)
+        out = fn(extended)
+        return out[overlap : overlap + local.shape[0]]
+
+    spec = P(axis, *([None] * (frames.ndim - 1)))
+    return shard_map(shard_fn, mesh=mesh, in_specs=(spec,), out_specs=spec)(frames)
+
+
+def spatial_tile_map(
+    fn: Callable[[jnp.ndarray], jnp.ndarray],
+    frames: jnp.ndarray,
+    mesh: Mesh,
+    halo: int,
+    axis: str = "spatial",
+) -> jnp.ndarray:
+    """Shard the HEIGHT axis across ``axis`` with row-halo exchange —
+    the mesh-native version of the reference's feathered spatial tiling
+    (utils.py:176-326). ``fn`` maps ``(N, h_local + 2*halo, W, C)`` to the
+    same shape; halo rows are trimmed on return."""
+    h = frames.shape[1]
+    n_dev = mesh.shape[axis]
+    assert h % n_dev == 0, f"height {h} not divisible by mesh axis {n_dev}"
+
+    def shard_fn(local):
+        top, bottom = _exchange_halo(local, halo, axis, dim=1)
+        extended = jnp.concatenate([top, local, bottom], axis=1)
+        out = fn(extended)
+        return out[:, halo : halo + local.shape[1]]
+
+    spec = P(None, axis, *([None] * (frames.ndim - 2)))
+    return shard_map(shard_fn, mesh=mesh, in_specs=(spec,), out_specs=spec)(frames)
