@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Benchmark: restored frames/sec/chip at 1080p (the north-star metric).
+
+Runs the client-side restoration hot path — the progressive 2x
+super-resolution loop with the neural SRNet upsampler at every stage
+(reference semantics elvis.py:2522; BASELINE.json north star) — on the
+real TPU chip, end to end on device, and reports steady-state throughput.
+
+Baseline anchor: the reference's best practical neural restorer measured
+0.46 FPS at 720p on a 48 GB GPU (RealESRGAN row,
+DEGRADATION_ABLATION_REPORT.tex:502-526; BASELINE.md). ``vs_baseline`` is
+our 1080p fps divided by that 0.46 fps — conservative, since our frames
+are 2.25x larger.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from elvis_tpu.degrade import adaptive_downsample
+    from elvis_tpu.models import SRNet, srnet_upsample_fn
+    from elvis_tpu.restore import progressive_restore
+
+    n, h, w, b = 8, 1080, 1920, 8
+
+    # Structured 1080p clip (moving gradients — representative block stats).
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    clip = np.stack(
+        [
+            np.clip(
+                128 + 80 * np.sin(2 * np.pi * (xx + 40 * t) / 300)
+                * np.cos(2 * np.pi * yy / 200),
+                0, 255,
+            )
+            for t in range(n)
+        ],
+        axis=0,
+    )
+    frames = jnp.asarray(np.repeat(clip[..., None], 3, -1).astype(np.float32))
+    rng = np.random.default_rng(0)
+    scores = jnp.asarray(rng.random((n, h // b, w // b)).astype(np.float32))
+
+    degraded, levels = jax.jit(lambda a, s: adaptive_downsample(a, s, b))(
+        frames, scores
+    )
+    jax.block_until_ready(degraded)
+
+    model = SRNet(features=32, growth=16, num_blocks=2)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    upsample = srnet_upsample_fn(model, params)
+    max_level = int(levels.max())
+
+    client = jax.jit(
+        lambda d, l: progressive_restore(
+            d, l, b, upsample_fn=upsample, max_level=max_level
+        )
+    )
+    jax.block_until_ready(client(degraded, levels))  # compile
+
+    iters = 10
+    t0 = time.time()
+    out = None
+    for _ in range(iters):
+        out = client(degraded, levels)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / iters
+    fps = n / dt
+
+    baseline_fps = 0.46  # reference RealESRGAN @720p on 48GB GPU
+    print(
+        json.dumps(
+            {
+                "metric": "neural_progressive_restore_fps_1080p_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / baseline_fps, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,89 @@
+"""FVMD-style Frechet Video Motion Distance.
+
+The reference shells out to the ``fvmd`` package (elvis.py:3358-3597):
+PIPs keypoint tracking -> velocity/acceleration histograms -> Frechet
+distance, with stride backoff and incremental early-stop. Weights for a
+learned tracker aren't available here, so the motion field comes from the
+framework's own block-matching estimator — structurally the same metric
+(motion statistics of the clip compared in Frechet distance), hermetic
+and fully on device up to the final small Gaussian statistics.
+
+Pipeline: block motion per frame pair -> velocity fields; acceleration =
+temporal difference of velocity -> per-frame magnitude/angle histograms
+-> Frechet distance between the Gaussian fits of the two clips' feature
+sequences (the standard FID/FVMD formula).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from elvis_tpu.ops.color import rgb_to_gray
+from elvis_tpu.ops.motion import block_motion
+
+__all__ = ["motion_features", "frechet_distance", "fvmd"]
+
+
+def motion_features(
+    frames: jnp.ndarray, block_size: int = 16, radius: int = 4, bins: int = 8
+) -> jnp.ndarray:
+    """``(N,H,W,C)`` -> per-frame motion feature vectors ``(N-2, 4*bins)``:
+    velocity magnitude/angle histograms + acceleration magnitude/angle."""
+    gray = rgb_to_gray(frames.astype(jnp.float32))
+    vel = block_motion(gray[:-1], gray[1:], block_size, radius)  # (N-1,By,Bx,2)
+    vel = vel.astype(jnp.float32)
+    acc = vel[1:] - vel[:-1]  # (N-2,By,Bx,2)
+
+    def hists(field, max_mag):
+        mag = jnp.sqrt((field**2).sum(-1)).reshape(field.shape[0], -1)
+        ang = jnp.arctan2(field[..., 0], field[..., 1]).reshape(field.shape[0], -1)
+        mag_edges = jnp.linspace(0.0, max_mag, bins + 1)
+        ang_edges = jnp.linspace(-np.pi, np.pi, bins + 1)
+
+        def hist(x, edges):
+            idx = jnp.clip(jnp.searchsorted(edges, x, side="right") - 1, 0, bins - 1)
+            onehot = (idx[..., None] == jnp.arange(bins)).astype(jnp.float32)
+            h = onehot.sum(axis=1)
+            return h / jnp.maximum(h.sum(-1, keepdims=True), 1.0)
+
+        return jnp.concatenate([hist(mag, mag_edges), hist(ang, ang_edges)], axis=-1)
+
+    vfeat = hists(vel[1:], max_mag=float(radius) * 1.5)
+    afeat = hists(acc, max_mag=float(radius))
+    return jnp.concatenate([vfeat, afeat], axis=-1)  # (N-2, 4*bins)
+
+
+def frechet_distance(feat_a: np.ndarray, feat_b: np.ndarray) -> float:
+    """Frechet distance between Gaussian fits of two feature sets."""
+    a = np.asarray(feat_a, dtype=np.float64)
+    b = np.asarray(feat_b, dtype=np.float64)
+    mu_a, mu_b = a.mean(0), b.mean(0)
+    ca = np.cov(a, rowvar=False) + 1e-8 * np.eye(a.shape[1])
+    cb = np.cov(b, rowvar=False) + 1e-8 * np.eye(b.shape[1])
+    diff = mu_a - mu_b
+    # sqrtm via eigendecomposition of the symmetrized product
+    evals, evecs = np.linalg.eigh(ca)
+    sqrt_ca = (evecs * np.sqrt(np.maximum(evals, 0))) @ evecs.T
+    m = sqrt_ca @ cb @ sqrt_ca
+    mevals = np.linalg.eigvalsh((m + m.T) / 2)
+    tr_sqrt = np.sqrt(np.maximum(mevals, 0)).sum()
+    return float(diff @ diff + np.trace(ca) + np.trace(cb) - 2 * tr_sqrt)
+
+
+def fvmd(
+    ref_frames: jnp.ndarray,
+    dec_frames: jnp.ndarray,
+    block_size: int = 16,
+    radius: int = 4,
+    stride: int = 1,
+) -> float:
+    """Frechet video motion distance between two clips (lower = closer
+    motion dynamics). Needs >= 4 frames (velocity + acceleration)."""
+    if ref_frames.shape[0] < 4:
+        return float("nan")
+    r = ref_frames[::stride] if stride > 1 else ref_frames
+    d = dec_frames[::stride] if stride > 1 else dec_frames
+    fa = np.asarray(motion_features(jnp.asarray(r), block_size, radius))
+    fb = np.asarray(motion_features(jnp.asarray(d), block_size, radius))
+    return frechet_distance(fa, fb)

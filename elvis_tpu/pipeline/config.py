@@ -1,0 +1,163 @@
+"""ElvisConfig: the pipeline's single config dataclass.
+
+Field-name parity with the reference's ``ElvisConfig`` (elvis.py:48-101)
+so the grid/random search drivers and ``analysis_results.json`` consumers
+work unchanged (BASELINE.json north star; §5.6). Reference fields that
+configure external CUDA model subprocess plumbing (propainter_*/e2fgvi_*/
+realesrgan_*/instantir_* device lists, chunk lengths...) are accepted and
+recorded — they parameterize this framework's equivalent slots where a
+counterpart exists (e.g. ``*_devices`` select mesh devices; neighbor/
+window lengths feed the temporal halo) and are otherwise inert.
+
+It also declares the fields the reference *reads but never declared* —
+``strength_maps_use_npz`` (elvis.py:4837 reads it; bug #2 in SURVEY.md
+§2.9) and the keys the search drivers inject (``experiment_dir``,
+``strength_maps_target_bitrate``, ``analysis_sample_frames``,
+``minimal_figures``; bug #4) — so the documented behaviour actually runs.
+
+Merge order (elvis.py:4967-5002): dataclass defaults -> --config JSON ->
+individual CLI flags.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Union
+
+__all__ = ["ElvisConfig", "load_config_from_cli", "config_from_dict"]
+
+
+@dataclass
+class ElvisConfig:
+    # --- reference fields (elvis.py:48-101), names preserved -------------
+    reference_video: str = "davis_test/bear.mp4"
+    width: int = 640
+    height: int = 360
+    block_size: int = 8
+    shrink_amount: float = 0.25
+    quality_factor: float = 1.2
+    target_bitrate_override: Optional[int] = None
+    removability_alpha: float = 0.5
+    removability_smoothing_beta: float = 0.5
+    encode_preset: str = "medium"
+    encode_pix_fmt: str = "yuv420p"
+    propainter_resize_ratio: float = 1.0
+    propainter_ref_stride: int = 20
+    propainter_neighbor_length: int = 4
+    propainter_subvideo_length: int = 40
+    propainter_mask_dilation: int = 4
+    propainter_raft_iter: int = 20
+    propainter_fp16: bool = True
+    propainter_devices: Optional[List[Union[int, str]]] = None
+    propainter_parallel_chunk_length: Optional[int] = None
+    propainter_chunk_overlap: Optional[int] = None
+    e2fgvi_ref_stride: int = 10
+    e2fgvi_neighbor_stride: int = 5
+    e2fgvi_num_ref: int = -1
+    e2fgvi_mask_dilation: int = 4
+    e2fgvi_devices: Optional[List[Union[int, str]]] = None
+    e2fgvi_parallel_chunk_length: Optional[int] = None
+    e2fgvi_chunk_overlap: Optional[int] = None
+    realesrgan_denoise_strength: float = 1.0
+    realesrgan_tile: int = 0
+    realesrgan_tile_pad: int = 10
+    realesrgan_pre_pad: int = 0
+    realesrgan_fp32: bool = False
+    realesrgan_devices: Optional[List[Union[int, str]]] = None
+    realesrgan_parallel_chunk_length: Optional[int] = None
+    realesrgan_per_device_workers: int = 1
+    instantir_cfg: float = 7.0
+    instantir_creative_start: float = 1.0
+    instantir_preview_start: float = 0.0
+    instantir_seed: Optional[int] = 42
+    instantir_devices: Optional[List[Union[int, str]]] = None
+    instantir_batch_size: int = 4
+    instantir_parallel_chunk_length: Optional[int] = None
+    generate_opencv_benchmarks: bool = True
+    metric_stride: int = 1
+    fvmd_stride: int = 1
+    fvmd_max_frames: Optional[int] = None
+    fvmd_processes: Optional[int] = None
+    fvmd_early_stop_delta: float = 0.002
+    fvmd_early_stop_window: int = 50
+    vmaf_stride: int = 1
+    enable_fvmd: bool = True
+
+    # --- fields the reference read/injected but never declared -----------
+    strength_maps_use_npz: bool = True
+    experiment_dir: Optional[str] = None
+    strength_maps_target_bitrate: int = 50000
+    analysis_sample_frames: Optional[int] = None
+    minimal_figures: bool = False
+
+    # --- framework extensions (TPU-native knobs) -------------------------
+    codec: str = "nvc"                 # 'nvc' | 'x265' | 'kvazaar' | 'svtav1'
+    saliency_backend: str = "motion_contrast"
+    inpaint_backends: List[str] = field(default_factory=lambda: ["diffusion", "temporal"])
+    sr_backends: List[str] = field(default_factory=lambda: ["progressive_lanczos"])
+    deblur_backends: List[str] = field(default_factory=lambda: ["unsharp"])
+    max_frames: Optional[int] = None
+    framerate_override: Optional[float] = None
+    roi_qp_range: int = 15
+    temporal_blend: float = 0.0
+    gaussian_max_rounds: int = 10
+    srnet_params_path: Optional[str] = None
+    deblur_params_path: Optional[str] = None
+    inpaint_params_path: Optional[str] = None
+    enable_dct_dampen: bool = False
+    stage_cache: bool = False
+    enable_vmaf: bool = True
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+def config_from_dict(data: Dict[str, Any], strict: bool = False) -> ElvisConfig:
+    """Build a config, tolerating unknown keys (the reference's search
+    drivers inject keys its dataclass lacked — bug #4; here unknown keys
+    warn instead of crashing unless strict)."""
+    known = {f.name for f in dataclasses.fields(ElvisConfig)}
+    unknown = {k: v for k, v in data.items() if k not in known}
+    if unknown and strict:
+        raise TypeError(f"unknown config keys: {sorted(unknown)}")
+    if unknown:
+        print(f"Warning: ignoring unknown config keys: {sorted(unknown)}")
+    return ElvisConfig(**{k: v for k, v in data.items() if k in known})
+
+
+def load_config_from_cli(argv: Optional[List[str]] = None) -> ElvisConfig:
+    """defaults -> --config JSON -> individual flags (elvis.py:4940-5002);
+    flags auto-generated from the dataclass like presley.py:106-126."""
+    parser = argparse.ArgumentParser(description="elvis-tpu pipeline")
+    parser.add_argument("--config", type=str, default=None, help="JSON config file")
+    for f in dataclasses.fields(ElvisConfig):
+        name = f"--{f.name}"
+        ann = str(f.type)
+        if isinstance(f.default, bool) or ann in ("bool", "Optional[bool]"):
+            parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
+                                default=None, metavar="BOOL")
+        elif isinstance(f.default, bool) is False and (
+            isinstance(f.default, int) or ann in ("int", "Optional[int]")
+        ):
+            parser.add_argument(name, type=int, default=None)
+        elif isinstance(f.default, float) or ann in ("float", "Optional[float]"):
+            parser.add_argument(name, type=float, default=None)
+        else:
+            parser.add_argument(name, type=str, default=None)
+    args = parser.parse_args(argv)
+
+    data: Dict[str, Any] = {}
+    if args.config:
+        with open(args.config) as fh:
+            data.update(json.load(fh))
+    for f in dataclasses.fields(ElvisConfig):
+        v = getattr(args, f.name, None)
+        if v is not None:
+            # parse JSON-ish strings for list/optional fields
+            if isinstance(v, str) and (v.startswith("[") or v.startswith("{")):
+                v = json.loads(v)
+            data[f.name] = v
+    return config_from_dict(data)

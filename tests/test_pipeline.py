@@ -1,0 +1,163 @@
+"""End-to-end pipeline smoke: synthetic clip -> run_elvis -> schema check.
+
+The reference's evaluation stage cannot run as shipped (undefined
+_EvaluationContext, SURVEY.md §2.9 bug #1); the parity target is the
+documented analysis_results.json schema."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from elvis_tpu.pipeline import APPROACHES, ElvisConfig, load_config_from_cli, run_elvis
+from elvis_tpu.pipeline.config import config_from_dict
+from elvis_tpu.pipeline.io import load_clip, synthetic_clip
+
+
+@pytest.fixture(scope="module")
+def pipeline_results(tmp_path_factory):
+    exp_dir = str(tmp_path_factory.mktemp("experiment"))
+    config = ElvisConfig(
+        reference_video="synthetic://moving?frames=8&fps=24",
+        width=128,
+        height=96,
+        block_size=8,
+        shrink_amount=0.25,
+        target_bitrate_override=100_000,  # the W*H*fps model gives ~3.5kbps at this tiny size
+        experiment_dir=exp_dir,
+        enable_fvmd=True,
+        enable_vmaf=False,
+        generate_opencv_benchmarks=True,
+    )
+    return run_elvis(config), exp_dir
+
+
+class TestRunElvis:
+    def test_all_approaches_present(self, pipeline_results):
+        results, _ = pipeline_results
+        for label in [
+            APPROACHES.BASELINE,
+            APPROACHES.PRESLEY_QP,
+            APPROACHES.ELVIS_CV2,
+            APPROACHES.ELVIS_PROP,
+            APPROACHES.ELVIS_E2FGVI,
+            APPROACHES.PRESLEY_REALESRGAN,
+            APPROACHES.PRESLEY_INSTANTIR,
+            APPROACHES.PRESLEY_LANCZOS,
+            APPROACHES.PRESLEY_UNSHARP,
+        ]:
+            assert label in results, label
+
+    def test_reference_schema(self, pipeline_results):
+        """Per-approach dict shape of elvis.py:3862-3893."""
+        results, _ = pipeline_results
+        r = results[APPROACHES.BASELINE]
+        for region in ("foreground", "background"):
+            for key in ("psnr_mean", "psnr_std", "ssim_mean", "ssim_std",
+                        "mse_mean", "mse_std", "lpips_mean", "lpips_std", "fvmd"):
+                assert key in r[region], (region, key)
+        assert "bitrate_mbps" in r
+        for key in ("execution_times_seconds", "video_name", "video_length_seconds",
+                    "video_framerate", "video_resolution", "block_size",
+                    "target_bitrate_bps", "parameters", "experiment_dir",
+                    "analysis_results_path"):
+            assert key in results, key
+
+    def test_json_written_and_parseable(self, pipeline_results):
+        results, exp_dir = pipeline_results
+        path = os.path.join(exp_dir, "analysis_results.json")
+        assert os.path.exists(path)
+        with open(path) as f:
+            data = json.load(f)
+        assert data["video_resolution"] == "128x96"
+
+    def test_metrics_sane(self, pipeline_results):
+        """Baseline at the target bitrate should beat heavy degradation
+        paths on background PSNR; all PSNRs finite and ordered sensibly."""
+        results, _ = pipeline_results
+        base = results[APPROACHES.BASELINE]
+        assert 20 < base["foreground"]["psnr_mean"] <= 100
+        assert 20 < base["background"]["psnr_mean"] <= 100
+        assert 0 < base["foreground"]["ssim_mean"] <= 1
+        assert base["bitrate_mbps"] > 0
+
+    def test_roi_shifts_quality_toward_foreground(self, pipeline_results):
+        """The PRESLEY QP promise (TECHNICAL_REPORT.md:160-174): ROI
+        trades background quality for foreground quality vs baseline."""
+        results, _ = pipeline_results
+        base = results[APPROACHES.BASELINE]
+        roi = results[APPROACHES.PRESLEY_QP]
+        fg_gain = roi["foreground"]["psnr_mean"] - base["foreground"]["psnr_mean"]
+        bg_loss = base["background"]["psnr_mean"] - roi["background"]["psnr_mean"]
+        assert fg_gain > 0, (fg_gain, bg_loss)
+
+    def test_sidecars_and_masks_written(self, pipeline_results):
+        _, exp_dir = pipeline_results
+        assert os.path.exists(os.path.join(exp_dir, "shrink_masks_8.npz"))
+        assert os.path.exists(os.path.join(exp_dir, "maps", "downsample_maps.npz"))
+        assert os.path.exists(os.path.join(exp_dir, "maps", "gaussian_maps.npz"))
+        assert os.path.isdir(os.path.join(exp_dir, "maps", "saliency_masks"))
+
+    def test_fvmd_populated(self, pipeline_results):
+        results, _ = pipeline_results
+        v = results[APPROACHES.BASELINE]["foreground"]["fvmd"]
+        assert np.isfinite(v)
+
+
+class TestConfig:
+    def test_cli_merge_order(self, tmp_path):
+        cfg_file = tmp_path / "c.json"
+        cfg_file.write_text(json.dumps({"width": 320, "height": 240, "block_size": 16}))
+        cfg = load_config_from_cli(["--config", str(cfg_file), "--width", "256"])
+        assert cfg.width == 256      # flag wins
+        assert cfg.height == 240     # file value
+        assert cfg.block_size == 16
+
+    def test_unknown_keys_tolerated(self):
+        cfg = config_from_dict({"width": 64, "bogus_key": 1})
+        assert cfg.width == 64
+        with pytest.raises(TypeError):
+            config_from_dict({"bogus_key": 1}, strict=True)
+
+    def test_reference_injected_keys_accepted(self, tmp_path):
+        """The keys the reference's search drivers inject (bug #4) are
+        real fields here."""
+        cfg = config_from_dict({
+            "experiment_dir": str(tmp_path),
+            "strength_maps_target_bitrate": 42000,
+            "analysis_sample_frames": 10,
+            "minimal_figures": True,
+            "strength_maps_use_npz": True,
+        })
+        assert cfg.strength_maps_target_bitrate == 42000
+
+
+class TestIo:
+    def test_synthetic_clip_shapes(self):
+        clip = synthetic_clip("moving", frames=4, height=64, width=96)
+        assert clip.shape == (4, 64, 96, 3) and clip.dtype == np.uint8
+
+    def test_load_clip_synthetic_uri(self):
+        frames, fps = load_clip("synthetic://moving?frames=6&fps=25", 96, 64)
+        assert frames.shape == (6, 64, 96, 3)
+        assert fps == 25.0
+
+    def test_load_clip_resizes(self):
+        frames, _ = load_clip("synthetic://moving?frames=2&height=64&width=96", 48, 32)
+        assert frames.shape == (2, 32, 48, 3)
+
+    def test_png_roundtrip(self, tmp_path, tiny_video):
+        from elvis_tpu.pipeline.io import load_frames_png, save_frames_png
+
+        save_frames_png(tiny_video, str(tmp_path))
+        back = load_frames_png(str(tmp_path))
+        np.testing.assert_array_equal(back, tiny_video)
+
+    def test_y4m_source(self, tmp_path, tiny_video):
+        from elvis_tpu.codec import write_y4m
+
+        p = tmp_path / "c.y4m"
+        write_y4m(tiny_video, str(p), 24.0)
+        frames, fps = load_clip(str(p))
+        assert frames.shape == tiny_video.shape and fps == 24.0
