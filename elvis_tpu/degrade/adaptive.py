@@ -9,11 +9,11 @@ Semantics parity (behaviour, not implementation):
     5x5 sigma=1 Gaussian **within the block** (reflect-101 at block edges).
 
 The reference loops over blocks in Python calling tiny cv2 ops (its
-hottest server-side loop, SURVEY.md §3.5). TPU-first formulation: compute
-the degraded frame at *every* level as one batched op over the whole block
-tensor (levels are few and static: log2(b)+1, or max_rounds+1), then
-gather each block's level with a one-hot select. Everything fuses under
-one jit; no data-dependent shapes.
+hottest server-side loop, SURVEY.md §3.5). Here both ops are ONE batched
+per-block matrix transform (elvis_tpu.kernels.block_transform): each
+block's level gathers a precomputed (b, b) operator — ``R_l = Up*Down``
+for downsample, ``B^r`` for r blur rounds — and the whole clip runs as two
+MXU matmuls with a single HBM read+write.
 """
 
 from __future__ import annotations
@@ -23,8 +23,11 @@ import math
 import jax.numpy as jnp
 
 from elvis_tpu.core.blocks import combine_blocks, split_into_blocks
-from elvis_tpu.ops.filter import gaussian_blur
-from elvis_tpu.ops.resize import resize
+from elvis_tpu.kernels.block_transform import (
+    apply_block_matrix,
+    blur_matrix_table,
+    resample_matrix_table,
+)
 
 __all__ = [
     "downsample_levels_from_scores",
@@ -49,27 +52,13 @@ def blur_levels_from_scores(scores: jnp.ndarray, max_rounds: int = 10) -> jnp.nd
     return jnp.round(scores * max_rounds).astype(jnp.int32)
 
 
-def _select_level(level_stack: jnp.ndarray, levels: jnp.ndarray) -> jnp.ndarray:
-    """Gather per-block level: stack ``(L, ..., By, Bx, b, b, C)`` +
-    levels ``(..., By, Bx)`` -> ``(..., By, Bx, b, b, C)``.
-
-    One-hot weighted sum rather than gather: maps to a fused VPU select,
-    no dynamic indexing.
-    """
-    num_levels = level_stack.shape[0]
-    onehot = (
-        jnp.arange(num_levels, dtype=jnp.int32).reshape(
-            (num_levels,) + (1,) * levels.ndim
-        )
-        == levels[None]
-    )
-    w = onehot[..., None, None, None].astype(level_stack.dtype)
-    return (level_stack * w).sum(axis=0)
+def _finalize(frames_dtype, out):
+    if jnp.issubdtype(frames_dtype, jnp.integer):
+        out = jnp.clip(jnp.round(out), 0, 255)
+    return out.astype(frames_dtype)
 
 
-def adaptive_downsample(
-    frames: jnp.ndarray, scores: jnp.ndarray, block_size: int
-):
+def adaptive_downsample(frames: jnp.ndarray, scores: jnp.ndarray, block_size: int):
     """Degrade each block by its score-derived power-of-2 factor.
 
     frames ``(N, H, W, C)``, scores ``(N, By, Bx)`` in [0,1].
@@ -77,31 +66,14 @@ def adaptive_downsample(
     map is the 1x/2x/4x/8x strength-map sidecar payload.
     """
     levels = downsample_levels_from_scores(scores, block_size)
-    blocks = split_into_blocks(frames, block_size)  # (N,By,Bx,b,b,C)
-    n, by, bx, b, _, c = blocks.shape
-    flat = blocks.reshape(n * by * bx, b, b, c)
-
-    max_level = int(math.log2(block_size))
-    stack = [blocks.astype(jnp.float32)]
-    for lvl in range(1, max_level + 1):
-        small = max(1, b // (2**lvl))
-        down = resize(flat.astype(jnp.float32), (small, small), method="area")
-        up = resize(down, (b, b), method="linear")
-        stack.append(up.reshape(n, by, bx, b, b, c))
-    level_stack = jnp.stack(stack, axis=0)
-
-    out_blocks = _select_level(level_stack, levels)
-    out = combine_blocks(out_blocks)
-    if jnp.issubdtype(frames.dtype, jnp.integer):
-        out = jnp.clip(jnp.round(out), 0, 255)
-    return out.astype(frames.dtype), levels
+    blocks = split_into_blocks(frames, block_size)
+    table = resample_matrix_table(block_size, "linear")
+    out_blocks = apply_block_matrix(blocks, jnp.asarray(table), levels)
+    return _finalize(frames.dtype, combine_blocks(out_blocks)), levels
 
 
 def adaptive_blur(
-    frames: jnp.ndarray,
-    scores: jnp.ndarray,
-    block_size: int,
-    max_rounds: int = 10,
+    frames: jnp.ndarray, scores: jnp.ndarray, block_size: int, max_rounds: int = 10
 ):
     """Blur each block ``round(score*max_rounds)`` times (within-block
     borders, like the reference's per-block cv2.GaussianBlur).
@@ -109,17 +81,7 @@ def adaptive_blur(
     Returns ``(degraded, rounds_map int32)``.
     """
     levels = blur_levels_from_scores(scores, max_rounds)
-    blocks = split_into_blocks(frames, block_size).astype(jnp.float32)
-
-    stack = [blocks]
-    cur = blocks
-    for _ in range(max_rounds):
-        cur = gaussian_blur(cur, 5, 1.0, h_axis=-3, w_axis=-2)
-        stack.append(cur)
-    level_stack = jnp.stack(stack, axis=0)
-
-    out_blocks = _select_level(level_stack, levels)
-    out = combine_blocks(out_blocks)
-    if jnp.issubdtype(frames.dtype, jnp.integer):
-        out = jnp.clip(jnp.round(out), 0, 255)
-    return out.astype(frames.dtype), levels
+    blocks = split_into_blocks(frames, block_size)
+    table = blur_matrix_table(block_size, max_rounds)
+    out_blocks = apply_block_matrix(blocks, jnp.asarray(table), levels)
+    return _finalize(frames.dtype, combine_blocks(out_blocks)), levels

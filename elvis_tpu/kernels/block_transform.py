@@ -1,0 +1,158 @@
+"""Per-block matrix transforms — the fused formulation of the hot
+degradation/restoration ops.
+
+Key observation: every per-block separable op in this domain is a pair of
+small matrix multiplies. A within-block 5x5 sigma=1 Gaussian blur with
+reflect-101 borders (reference elvis.py:2190) is ``B @ X @ B.T`` with B
+the (b, b) convolution matrix; r iterated rounds are ``B^r @ X @ (B^r).T``
+because row/column operators commute. A block downsample-then-upsample
+(elvis.py:2158-2163) is ``R_l @ X @ R_l.T`` with ``R_l = Up_l @ Down_l``.
+
+So the reference's hottest server loop — per block, a data-dependent
+number of tiny cv2 calls (SURVEY.md §3.5) — becomes ONE batched einsum on
+the MXU: gather each block's (b, b) matrix from an (L, b, b) table by its
+level, then two batched matmuls. HBM traffic is one read + one write of
+the frame (the level-stack formulation this replaces cost (L+1)x), and
+the FLOPs all land on the systolic array.
+
+Two implementations:
+  * ``apply_block_matrix`` — pure XLA (gather + einsum), the default;
+  * ``apply_block_matrix_pallas`` — a Pallas kernel that keeps a tile of
+    blocks resident in VMEM with the whole matrix table, for explicit
+    layout control (grid over block tiles; table is a few KB).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from elvis_tpu.ops.filter import _reflect101_indices, gaussian_kernel_1d
+from elvis_tpu.ops.resize import resize_matrix
+
+__all__ = [
+    "conv_matrix_reflect101",
+    "blur_matrix_table",
+    "resample_matrix_table",
+    "apply_block_matrix",
+    "apply_block_matrix_pallas",
+]
+
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+@functools.lru_cache(maxsize=64)
+def conv_matrix_reflect101(b: int, ksize: int = 5, sigma: float = 1.0) -> np.ndarray:
+    """(b, b) matrix equivalent of a 1-D ksize/sigma Gaussian correlation
+    with OpenCV reflect-101 borders on a length-b signal."""
+    kern = gaussian_kernel_1d(ksize, sigma)
+    pad = (ksize - 1) // 2
+    idx = _reflect101_indices(b, pad)  # length b + 2*pad
+    mat = np.zeros((b, b), dtype=np.float64)
+    for out_i in range(b):
+        for t in range(ksize):
+            mat[out_i, idx[out_i + t]] += kern[t]
+    return mat
+
+
+@functools.lru_cache(maxsize=32)
+def blur_matrix_table(b: int, max_rounds: int, ksize: int = 5, sigma: float = 1.0) -> np.ndarray:
+    """(max_rounds+1, b, b): entry r = B^r (r iterated within-block blurs)."""
+    base = conv_matrix_reflect101(b, ksize, sigma)
+    out = [np.eye(b)]
+    cur = np.eye(b)
+    for _ in range(max_rounds):
+        cur = base @ cur
+        out.append(cur)
+    return np.stack(out, axis=0)
+
+
+@functools.lru_cache(maxsize=32)
+def resample_matrix_table(
+    b: int, up_method: str = "linear", max_level: int | None = None
+) -> np.ndarray:
+    """(L+1, b, b): entry l = Up_l @ Down_l — area downsample to b/2^l
+    then ``up_method`` upsample back (level 0 = identity).
+
+    up_method 'linear' reproduces the degradation (elvis.py:2161-2163);
+    'lanczos4' reproduces the classical restore (elvis.py:2812-2814).
+    """
+    if max_level is None:
+        max_level = int(math.log2(b))
+    out = [np.eye(b)]
+    for lvl in range(1, max_level + 1):
+        small = max(1, b // (2**lvl))
+        down = resize_matrix(small, b, "area")
+        up = resize_matrix(b, small, up_method)
+        out.append(up @ down)
+    return np.stack(out, axis=0)
+
+
+def apply_block_matrix(
+    blocks: jnp.ndarray, table: jnp.ndarray, idx: jnp.ndarray
+) -> jnp.ndarray:
+    """blocks ``(..., b, b, C)`` float, table ``(L, b, b)``, idx ``(...,)``
+    int -> ``T[idx] @ X @ T[idx].T`` per block."""
+    t = jnp.asarray(table, dtype=jnp.float32)[idx]  # (..., b, b)
+    x = blocks.astype(jnp.float32)
+    y = jnp.einsum("...ij,...jkc->...ikc", t, x, precision=_PRECISION)
+    return jnp.einsum("...lk,...ikc->...ilc", t, y, precision=_PRECISION)
+
+
+def apply_block_matrix_pallas(
+    blocks: jnp.ndarray, table: jnp.ndarray, idx: jnp.ndarray, *, tile: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pallas variant: flat blocks ``(M, b, b, C)`` tiled through VMEM with
+    the whole matrix table resident; one grid step transforms ``tile``
+    blocks. Matches apply_block_matrix bit-for-bit in float32.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, b, _, c = blocks.shape
+    ell = table.shape[0]
+    pad = (-m) % tile
+    x = blocks.astype(jnp.float32).reshape(m, b, b * c)
+    ix = idx.astype(jnp.int32)
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, b, b * c), jnp.float32)], axis=0)
+        ix = jnp.concatenate([ix, jnp.zeros((pad,), jnp.int32)], axis=0)
+    mp = m + pad
+
+    tbl = jnp.asarray(table, dtype=jnp.float32)
+
+    def kernel(idx_ref, x_ref, tbl_ref, out_ref):
+        sel = tbl_ref[idx_ref[:]]                      # (tile, b, b)
+        xb = x_ref[:].reshape(tile, b, b, c)
+        y = jax.lax.dot_general(
+            sel, xb.reshape(tile, b, b * c),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (tile, b, b*c)
+        y = y.reshape(tile, b, b, c).transpose(0, 2, 1, 3).reshape(tile, b, b * c)
+        z = jax.lax.dot_general(
+            sel, y,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        z = z.reshape(tile, b, b, c).transpose(0, 2, 1, 3).reshape(tile, b, b * c)
+        out_ref[:] = z
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(mp // tile,),
+        in_specs=[
+            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, b, b * c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ell, b, b), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, b, b * c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, b, b * c), jnp.float32),
+        interpret=interpret,
+    )(ix, x, tbl)
+    return out[:m].reshape(m, b, b, c)

@@ -5,23 +5,38 @@ for blur level L > 0, ``amount = 0.5*L``, ``radius = max(1, L)``, blurred
 ref = GaussianBlur(block, ksize=auto, sigma=radius), output =
 ``(1+amount)*block - amount*blurred`` clipped to [0,255]. OpenCV's auto
 kernel size for 8-bit images is ``round(sigma*6 + 1) | 1``.
+
+Fused formulation: the per-level Gaussian is a gathered (b, b) matrix
+``B_sigma(L)`` (elvis_tpu.kernels.block_transform), so the whole restore
+is one batched matrix transform plus a per-block affine combine.
 """
 
 from __future__ import annotations
 
+import functools
+
+import numpy as np
 import jax.numpy as jnp
 
 from elvis_tpu.core.blocks import combine_blocks, split_into_blocks
-from elvis_tpu.degrade.adaptive import _select_level
-from elvis_tpu.ops.filter import gaussian_blur
+from elvis_tpu.kernels.block_transform import apply_block_matrix, conv_matrix_reflect101
 from elvis_tpu.restore.registry import register_restorer
 
 __all__ = ["restore_blur_unsharp"]
 
 
 def _auto_ksize(sigma: float) -> int:
-    k = int(round(sigma * 6 + 1))
-    return k | 1
+    return int(round(sigma * 6 + 1)) | 1
+
+
+@functools.lru_cache(maxsize=32)
+def _unsharp_blur_table(b: int, max_rounds: int) -> np.ndarray:
+    """(L+1, b, b): level L -> B with sigma = max(1, L); level 0 = identity."""
+    out = [np.eye(b)]
+    for lvl in range(1, max_rounds + 1):
+        sigma = float(max(1, lvl))
+        out.append(conv_matrix_reflect101(b, _auto_ksize(sigma), sigma))
+    return np.stack(out, axis=0)
 
 
 @register_restorer("blur", "unsharp")
@@ -32,17 +47,11 @@ def restore_blur_unsharp(
     max_rounds: int = 10,
 ) -> jnp.ndarray:
     blocks = split_into_blocks(frames, block_size).astype(jnp.float32)
-
-    stack = [blocks]
-    for lvl in range(1, max_rounds + 1):
-        sigma = float(max(1, lvl))
-        blurred = gaussian_blur(blocks, _auto_ksize(sigma), sigma, h_axis=-3, w_axis=-2)
-        amount = 0.5 * lvl
-        sharp = jnp.clip((1.0 + amount) * blocks - amount * blurred, 0, 255)
-        stack.append(sharp)
-
-    out_blocks = _select_level(jnp.stack(stack, axis=0), level_maps)
-    out = combine_blocks(out_blocks)
+    table = _unsharp_blur_table(block_size, max_rounds)
+    blurred = apply_block_matrix(blocks, jnp.asarray(table), level_maps)
+    amount = (0.5 * level_maps.astype(jnp.float32))[..., None, None, None]
+    sharp = jnp.clip((1.0 + amount) * blocks - amount * blurred, 0, 255)
+    out = combine_blocks(jnp.where(amount > 0, sharp, blocks))
     if jnp.issubdtype(frames.dtype, jnp.integer):
         out = jnp.clip(jnp.round(out), 0, 255)
     return out.astype(frames.dtype)

@@ -1,0 +1,201 @@
+"""Restorer training CLI: ``python -m elvis_tpu.train.cli srnet --steps N``.
+
+The reference downloads pretrained forks for every neural slot; with zero
+egress this framework trains its own compact restorers on procedurally
+generated degradation pairs (elvis_tpu.train.data) — the degradations are
+the framework's own ops, so the training distribution matches inference
+exactly. Checkpoints land where the pipeline's ``*_params_path`` config
+fields can load them.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+__all__ = ["train_srnet", "train_deblur", "train_inpaint", "train_saliency", "main"]
+
+
+def _mesh():
+    from elvis_tpu.parallel import make_mesh
+
+    import jax
+
+    n = len(jax.devices())
+    if n >= 2 and n % 2 == 0:
+        return make_mesh((("data", n // 2), ("tensor", 2)))
+    return make_mesh()
+
+
+def train_srnet(steps: int, ckpt_dir: str, lr: float = 2e-4, batch: int = 16, patch: int = 64,
+                log_every: int = 50):
+    import jax
+    import jax.numpy as jnp
+
+    from elvis_tpu.models import SRNet
+    from elvis_tpu.train import Trainer, synthetic_sr_batch
+
+    model = SRNet()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, patch // 2, patch // 2, 3)))
+
+    def loss_fn(p, b, rng):
+        lo, hi = b
+        return jnp.mean((model.apply(p, lo) - hi) ** 2) / 255.0**2
+
+    trainer = Trainer(loss_fn, params, mesh=_mesh(), learning_rate=lr, ckpt_dir=ckpt_dir)
+    rng = jax.random.PRNGKey(1)
+    t0 = time.time()
+    for step in range(steps):
+        rng, k1, k2 = jax.random.split(rng, 3)
+        loss = trainer.step(synthetic_sr_batch(k1, batch, patch), k2)
+        if step % log_every == 0 or step == steps - 1:
+            print(f"srnet step {step}: loss {loss:.6f} ({time.time()-t0:.0f}s)")
+    trainer.save("srnet")
+    return trainer
+
+
+def train_deblur(steps: int, ckpt_dir: str, lr: float = 2e-4, batch: int = 8, patch: int = 64,
+                 max_rounds: int = 10, log_every: int = 50):
+    import jax
+    import jax.numpy as jnp
+
+    from elvis_tpu.degrade import adaptive_blur
+    from elvis_tpu.models import DeblurUNet
+    from elvis_tpu.train import Trainer
+    from elvis_tpu.train.data import synthetic_frames
+
+    b = 8
+    model = DeblurUNet(max_strength=float(max_rounds))
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, patch, patch, 3)),
+        jnp.zeros((1, patch // b, patch // b), jnp.int32),
+        b,
+    )
+
+    def make_batch(rng):
+        k1, k2 = jax.random.split(rng)
+        clean = synthetic_frames(k1, batch, patch, patch)
+        scores = jax.random.uniform(k2, (batch, patch // b, patch // b))
+        degraded, levels = adaptive_blur(clean, scores, b, max_rounds)
+        return clean, degraded, levels
+
+    def loss_fn(p, data, rng):
+        clean, degraded, levels = data
+        pred = model.apply(p, degraded, levels, b)
+        return jnp.mean((pred - clean) ** 2) / 255.0**2
+
+    trainer = Trainer(loss_fn, params, mesh=_mesh(), learning_rate=lr, ckpt_dir=ckpt_dir)
+    rng = jax.random.PRNGKey(1)
+    t0 = time.time()
+    for step in range(steps):
+        rng, k1, k2 = jax.random.split(rng, 3)
+        loss = trainer.step(make_batch(k1), k2)
+        if step % log_every == 0 or step == steps - 1:
+            print(f"deblur step {step}: loss {loss:.6f} ({time.time()-t0:.0f}s)")
+    trainer.save("deblur")
+    return trainer
+
+
+def train_inpaint(steps: int, ckpt_dir: str, lr: float = 2e-4, frames: int = 8, patch: int = 64,
+                  log_every: int = 50):
+    import jax
+    import jax.numpy as jnp
+
+    from elvis_tpu.models import InpaintNet
+    from elvis_tpu.train import Trainer
+    from elvis_tpu.train.data import synthetic_video_batch
+
+    b = 8
+    by = patch // b
+    model = InpaintNet()
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((frames, patch, patch, 3)),
+        jnp.zeros((frames, by, by), jnp.int8),
+        b,
+    )
+
+    def make_batch(rng):
+        k1, k2 = jax.random.split(rng)
+        clip = synthetic_video_batch(k1, frames, patch, patch)
+        mask = (jax.random.uniform(k2, (frames, by, by)) < 0.25).astype(jnp.int8)
+        from elvis_tpu.core.blocks import upsample_map
+
+        holes = upsample_map(mask, b)[..., None]
+        holed = jnp.where(holes.astype(bool), 0.0, clip)
+        return clip, holed, mask
+
+    def loss_fn(p, data, rng):
+        clean, holed, mask = data
+        pred = model.apply(p, holed, mask, b)
+        return jnp.mean((pred - clean) ** 2) / 255.0**2
+
+    trainer = Trainer(loss_fn, params, mesh=None, learning_rate=lr, ckpt_dir=ckpt_dir)
+    rng = jax.random.PRNGKey(1)
+    for step in range(steps):
+        rng, k1, k2 = jax.random.split(rng, 3)
+        loss = trainer.step(make_batch(k1), k2)
+        if step % log_every == 0 or step == steps - 1:
+            print(f"inpaint step {step}: loss {loss:.6f}")
+    trainer.save("inpaint")
+    return trainer
+
+
+def train_saliency(steps: int, ckpt_dir: str, lr: float = 1e-3, frames: int = 8, patch: int = 64,
+                   log_every: int = 50):
+    """Distill the motion-contrast heuristic into the net (a bootstrap
+    teacher; real datasets plug into the same loop)."""
+    import jax
+    import jax.numpy as jnp
+
+    from elvis_tpu.models import SaliencyNet
+    from elvis_tpu.scoring import motion_contrast_saliency
+    from elvis_tpu.train import Trainer
+    from elvis_tpu.train.data import synthetic_video_batch
+
+    model = SaliencyNet()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((frames, patch, patch, 3)))
+
+    def make_batch(rng):
+        clip = synthetic_video_batch(rng, frames, patch, patch)
+        target = motion_contrast_saliency(clip)
+        return clip, target
+
+    def loss_fn(p, data, rng):
+        clip, target = data
+        pred = model.apply(p, clip)
+        return jnp.mean((pred - target) ** 2)
+
+    trainer = Trainer(loss_fn, params, mesh=None, learning_rate=lr, ckpt_dir=ckpt_dir)
+    rng = jax.random.PRNGKey(1)
+    for step in range(steps):
+        rng, k1, k2 = jax.random.split(rng, 3)
+        loss = trainer.step(make_batch(k1), k2)
+        if step % log_every == 0 or step == steps - 1:
+            print(f"saliency step {step}: loss {loss:.6f}")
+    trainer.save("saliency")
+    return trainer
+
+
+_TRAINERS = {
+    "srnet": train_srnet,
+    "deblur": train_deblur,
+    "inpaint": train_inpaint,
+    "saliency": train_saliency,
+}
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="train elvis-tpu restorers")
+    p.add_argument("model", choices=sorted(_TRAINERS))
+    p.add_argument("--steps", type=int, default=500)
+    p.add_argument("--ckpt-dir", type=str, default="checkpoints")
+    p.add_argument("--lr", type=float, default=2e-4)
+    args = p.parse_args(argv)
+    _TRAINERS[args.model](args.steps, args.ckpt_dir, lr=args.lr)
+    return 0
+
+
+if __name__ == "__main__":
+    main()
