@@ -74,7 +74,10 @@ class SRNet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        base = resize(x, (x.shape[-3] * 2, x.shape[-2] * 2), method="linear")
+        # Residual over a Lanczos-4 base: the zero-initialized tail makes a
+        # fresh model EXACTLY the classical progressive-lanczos restorer,
+        # so training can only improve on that baseline.
+        base = resize(x, (x.shape[-3] * 2, x.shape[-2] * 2), method="lanczos4")
         h = (x.astype(jnp.float32) / 127.5 - 1.0).astype(self.dtype)
         h = nn.Conv(self.features, (3, 3), dtype=self.dtype, name="head")(h)
         skip = h

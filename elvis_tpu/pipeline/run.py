@@ -79,6 +79,7 @@ __all__ = ["run_elvis", "APPROACHES"]
 
 class APPROACHES:
     BASELINE = "Baseline"
+    ELVIS_V2_DAMPEN = "ELVIS v2 Dampen"  # README-era degradation, no reference label
     PRESLEY_QP = "PRESLEY QP"
     ELVIS = "ELVIS"
     ELVIS_CV2 = "ELVIS CV2"
@@ -273,6 +274,32 @@ def run_elvis(config: ElvisConfig) -> Dict:
     execution_times["Gaussian Encoding"] = dt
     approach_times[APPROACHES.PRESLEY_INSTANTIR] += dt
 
+    # --- stage 6b (extension): DCT-dampen branch — the "ELVIS v2" of the
+    # reference's README (README.md:11-46) that its code never shipped.
+    if config.enable_dct_dampen:
+        from elvis_tpu.degrade import dct_dampen
+        from elvis_tpu.restore import restore_dct_dampen_inverse
+
+        t0 = time.time()
+        damp_frames, damp_levels = dct_dampen(frames, scores, b)
+        streams["dampened"] = codec.encode(
+            np.asarray(damp_frames), target_bitrate=target_bitrate, framerate=framerate
+        )
+        damp_maps_path = os.path.join(maps_dir, "dampen_maps.npz")
+        sidecar_sizes["dampen"] = save_strength_maps_npz(
+            np.asarray(damp_levels), damp_maps_path
+        )
+        damp_decoded, _ = codec.decode(streams["dampened"])
+        damp_levels_dec = jnp.asarray(
+            np.load(damp_maps_path)["strength_maps"].astype(np.int32)
+        )
+        decoded[APPROACHES.ELVIS_V2_DAMPEN] = np.asarray(
+            restore_dct_dampen_inverse(jnp.asarray(damp_decoded), damp_levels_dec, b)
+        )
+        dt = time.time() - t0
+        execution_times["DCT Dampen Branch"] = dt
+        approach_times[APPROACHES.ELVIS_V2_DAMPEN] += dt
+
     # --- stage 7: client stretch (elvis.py:4542-4580) ------------------------
     t0 = time.time()
     stretched = stretch_frames(jnp.asarray(shrunk_decoded), removal_mask, b)
@@ -376,6 +403,10 @@ def run_elvis(config: ElvisConfig) -> Dict:
         APPROACHES.PRESLEY_REALESRGAN: len(streams["downsampled"]) + sidecar_sizes["downsample"],
         APPROACHES.PRESLEY_INSTANTIR: len(streams["gaussian"]) + sidecar_sizes["gaussian"],
     }
+    if config.enable_dct_dampen:
+        video_sizes[APPROACHES.ELVIS_V2_DAMPEN] = (
+            len(streams["dampened"]) + sidecar_sizes["dampen"]
+        )
     bitrates = {k: size * 8 / duration for k, size in video_sizes.items()}
     for label in (APPROACHES.ELVIS_CV2, APPROACHES.ELVIS_PROP, APPROACHES.ELVIS_E2FGVI):
         bitrates[label] = bitrates[APPROACHES.ELVIS]

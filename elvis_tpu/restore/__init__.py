@@ -1,10 +1,11 @@
+from elvis_tpu.restore.dampen import restore_dct_dampen_inverse
 from elvis_tpu.restore.inpaint import (
     restore_removal_diffusion,
     restore_removal_temporal,
 )
 from elvis_tpu.restore.lanczos import restore_downsample_lanczos
 from elvis_tpu.restore.progressive import progressive_restore
-from elvis_tpu.restore.registry import get_restorer, register_restorer
+from elvis_tpu.restore.registry import get_restorer, register_restorer, safe_restore
 from elvis_tpu.restore.temporal import temporal_blend
 from elvis_tpu.restore.unsharp import restore_blur_unsharp
 
@@ -13,8 +14,10 @@ __all__ = [
     "progressive_restore",
     "register_restorer",
     "restore_blur_unsharp",
+    "restore_dct_dampen_inverse",
     "restore_downsample_lanczos",
     "restore_removal_diffusion",
     "restore_removal_temporal",
+    "safe_restore",
     "temporal_blend",
 ]

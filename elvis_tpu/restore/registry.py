@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict, Tuple
 
-__all__ = ["register_restorer", "get_restorer", "available_restorers"]
+__all__ = ["register_restorer", "get_restorer", "available_restorers", "safe_restore"]
 
 Restorer = Callable[..., object]
 
@@ -48,3 +48,22 @@ def available_restorers(degradation: str | None = None):
     if degradation is None:
         return sorted(_REGISTRY)
     return sorted(n for d, n in _REGISTRY if d == degradation)
+
+
+def safe_restore(fn: Restorer, frames, *args, **kwargs):
+    """Run a restorer with the reference's graceful-degradation policy
+    (SURVEY.md §5.3: tile restore falls back to input on exception,
+    utils.py:251-254; UAV OOM falls back to input frames,
+    utils.py:1565-1569): any failure returns the input frames untouched
+    plus the error, never crashing the pipeline.
+
+    Returns (frames_out, error_or_None).
+    """
+    try:
+        out = fn(frames, *args, **kwargs)
+        import jax
+
+        jax.block_until_ready(out)
+        return out, None
+    except Exception as exc:  # noqa: BLE001 — the policy is catch-all
+        return frames, f"{type(exc).__name__}: {exc}"

@@ -42,7 +42,12 @@ def train_srnet(steps: int, ckpt_dir: str, lr: float = 2e-4, batch: int = 16, pa
         lo, hi = b
         return jnp.mean((model.apply(p, lo) - hi) ** 2) / 255.0**2
 
-    trainer = Trainer(loss_fn, params, mesh=_mesh(), learning_rate=lr, ckpt_dir=ckpt_dir)
+    import optax
+
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup_steps=min(100, steps // 10 + 1), decay_steps=steps
+    )
+    trainer = Trainer(loss_fn, params, mesh=_mesh(), learning_rate=schedule, ckpt_dir=ckpt_dir)
     rng = jax.random.PRNGKey(1)
     t0 = time.time()
     for step in range(steps):
@@ -73,6 +78,7 @@ def train_deblur(steps: int, ckpt_dir: str, lr: float = 2e-4, batch: int = 8, pa
         b,
     )
 
+    @jax.jit
     def make_batch(rng):
         k1, k2 = jax.random.split(rng)
         clean = synthetic_frames(k1, batch, patch, patch)
@@ -116,12 +122,13 @@ def train_inpaint(steps: int, ckpt_dir: str, lr: float = 2e-4, frames: int = 8, 
         b,
     )
 
+    from elvis_tpu.core.blocks import upsample_map
+
+    @jax.jit
     def make_batch(rng):
         k1, k2 = jax.random.split(rng)
         clip = synthetic_video_batch(k1, frames, patch, patch)
         mask = (jax.random.uniform(k2, (frames, by, by)) < 0.25).astype(jnp.int8)
-        from elvis_tpu.core.blocks import upsample_map
-
         holes = upsample_map(mask, b)[..., None]
         holed = jnp.where(holes.astype(bool), 0.0, clip)
         return clip, holed, mask
@@ -157,6 +164,7 @@ def train_saliency(steps: int, ckpt_dir: str, lr: float = 1e-3, frames: int = 8,
     model = SaliencyNet()
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((frames, patch, patch, 3)))
 
+    @jax.jit
     def make_batch(rng):
         clip = synthetic_video_batch(rng, frames, patch, patch)
         target = motion_contrast_saliency(clip)

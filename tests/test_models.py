@@ -27,16 +27,18 @@ class TestSRNet:
         assert y.shape == (2, 32, 32, 3)
         assert float(y.min()) >= 0 and float(y.max()) <= 255
 
-    def test_untrained_close_to_bilinear(self):
-        """Residual design: fresh init must stay near the bilinear base."""
+    def test_untrained_equals_lanczos_base(self):
+        """Residual design with zero-init tail: a fresh model IS the
+        Lanczos-4 upsampler (training can only improve on the classical
+        baseline)."""
         from elvis_tpu.ops.resize import resize
 
         model = SRNet(features=16, growth=8, num_blocks=1)
         params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
         x = jnp.asarray(np.random.default_rng(0).random((1, 16, 16, 3)) * 255, jnp.float32)
         y = model.apply(params, x)
-        base = resize(x, (32, 32), method="linear")
-        assert float(jnp.abs(y - base).mean()) < 40
+        base = jnp.clip(resize(x, (32, 32), method="lanczos4"), 0, 255)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(base), atol=1e-3)
 
     def test_upsample_fn_plugs_into_progressive(self, tiny_video):
         from elvis_tpu.degrade import adaptive_downsample
@@ -121,7 +123,10 @@ class TestTraining:
         for i in range(60):
             rng, k = jax.random.split(rng)
             losses.append(trainer.step(batch, k))
-        assert losses[-1] < losses[0] * 0.75, losses[::10]
+        # The lanczos-base residual starts from a strong baseline, so the
+        # relative drop is modest; 20% in 60 steps still proves the
+        # sharded optimization works.
+        assert losses[-1] < losses[0] * 0.8, losses[::10]
 
     def test_checkpoint_roundtrip(self, tmp_path):
         model = SRNet(features=16, growth=8, num_blocks=1)
