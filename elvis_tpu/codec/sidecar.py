@@ -25,6 +25,8 @@ __all__ = [
     "load_strength_maps_npz",
     "encode_strength_maps",
     "decode_strength_maps",
+    "encode_strength_maps_video",
+    "decode_strength_maps_video",
     "save_removal_masks_npz",
     "load_removal_masks_npz",
 ]
@@ -60,6 +62,38 @@ def decode_strength_maps(blob: bytes) -> np.ndarray:
     n, by, bx, backend = struct.unpack_from("<HHHB", blob, 4)
     payload = blob[4 + struct.calcsize("<HHHB"):]
     return entropy.decode_bytes(backend, payload, n * by * bx).reshape(n, by, bx)
+
+
+def encode_strength_maps_video(
+    maps: np.ndarray, *, framerate: float = 30.0, qp: int = 30
+) -> Tuple[bytes, float, float]:
+    """Video-encoded sidecar (reference elvis.py:2198-2220 semantics:
+    min-max normalize to 0-255 grayscale, encode as a tiny lossy video).
+    Uses the built-in NVC codec on the block-resolution map treated as a
+    grayscale frame. Returns (stream, min_val, max_val) — decode needs the
+    range, which the reference hard-codes by map type (its bug #6); here
+    it rides along."""
+    from elvis_tpu.codec.nvc.codec import encode as nvc_encode
+
+    maps = np.asarray(maps, dtype=np.float32)
+    lo, hi = float(maps.min()), float(maps.max())
+    norm = (maps - lo) / (hi - lo + 1e-12) * 255.0
+    rgb = np.repeat(norm[..., None], 3, axis=-1).astype(np.uint8)
+    stream = nvc_encode(rgb, qp=qp, framerate=framerate)
+    return stream, lo, hi
+
+
+def decode_strength_maps_video(
+    stream: bytes, min_val: float, max_val: float
+) -> np.ndarray:
+    """Inverse: decode, rescale to [min, max], round to integer levels
+    (elvis.py:2238-2241)."""
+    from elvis_tpu.codec.nvc.codec import decode as nvc_decode
+
+    frames, _ = nvc_decode(stream)
+    gray = frames.astype(np.float32).mean(axis=-1)
+    vals = gray / 255.0 * (max_val - min_val) + min_val
+    return np.round(vals).astype(np.uint8)
 
 
 def save_removal_masks_npz(masks: np.ndarray, path: str) -> int:

@@ -33,6 +33,7 @@ __all__ = [
     "downsample_levels_from_scores",
     "blur_levels_from_scores",
     "adaptive_downsample",
+    "adaptive_downsample_scale",
     "adaptive_blur",
 ]
 
@@ -70,6 +71,37 @@ def adaptive_downsample(frames: jnp.ndarray, scores: jnp.ndarray, block_size: in
     table = resample_matrix_table(block_size, "linear")
     out_blocks = apply_block_matrix(blocks, jnp.asarray(table), levels)
     return _finalize(frames.dtype, combine_blocks(out_blocks)), levels
+
+
+def adaptive_downsample_scale(
+    frames: jnp.ndarray, importance: jnp.ndarray, block_size: int, max_scale: int = 4
+):
+    """PRESLEY scale-factor variant (reference utils.py:1101-1168,
+    presley.py:968-983): IMPORTANCE (not removability) binned into
+    ``max_scale`` levels; scale factor 0 (untouched) or 2..max_scale —
+    arbitrary integers, not powers of 2. Returns (degraded, scale_map).
+    """
+    inv = 1.0 - importance
+    bins = jnp.clip(jnp.floor(inv * max_scale).astype(jnp.int32), 0, max_scale - 1)
+    scale_map = jnp.where(bins == 0, 0, bins + 1)  # 0, 2, 3, ..., max_scale
+
+    # operator table indexed by scale value (index 1 unused -> identity)
+    import numpy as np
+
+    from elvis_tpu.ops.resize import resize_matrix
+
+    ops = [np.eye(block_size), np.eye(block_size)]
+    for s in range(2, max_scale + 1):
+        small = max(1, block_size // s)
+        ops.append(
+            resize_matrix(block_size, small, "linear")
+            @ resize_matrix(small, block_size, "area")
+        )
+    table = jnp.asarray(np.stack(ops, axis=0), dtype=jnp.float32)
+
+    blocks = split_into_blocks(frames, block_size)
+    out_blocks = apply_block_matrix(blocks, table, scale_map)
+    return _finalize(frames.dtype, combine_blocks(out_blocks)), scale_map
 
 
 def adaptive_blur(

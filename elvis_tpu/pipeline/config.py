@@ -110,6 +110,8 @@ class ElvisConfig:
     enable_dct_dampen: bool = False
     stage_cache: bool = False
     enable_vmaf: bool = True
+    masks_dir: Optional[str] = None  # external FG masks (DAVIS-style PNG dir)
+    profile_dir: Optional[str] = None  # jax.profiler trace output
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

@@ -16,7 +16,13 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["load_clip", "save_frames_png", "load_frames_png", "synthetic_clip"]
+__all__ = [
+    "load_clip",
+    "load_masks",
+    "save_frames_png",
+    "load_frames_png",
+    "synthetic_clip",
+]
 
 
 def synthetic_clip(
@@ -67,6 +73,36 @@ def load_frames_png(src_dir: str) -> np.ndarray:
     )
     frames = [np.asarray(Image.open(os.path.join(src_dir, f)).convert("RGB")) for f in files]
     return np.stack(frames, axis=0)
+
+
+def load_masks(
+    masks_dir: str, width: int, height: int, expected_frames: int
+) -> np.ndarray:
+    """Load foreground masks (DAVIS-style grayscale PNGs) as ``(N, H, W)``
+    bool, nearest-resized, ``> 128`` threshold, last-mask carry-forward
+    for missing frames (reference _load_resized_masks elvis.py:536-575)."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from elvis_tpu.ops.resize import resize
+
+    files = sorted(
+        f for f in os.listdir(masks_dir)
+        if f.lower().endswith((".png", ".jpg", ".jpeg"))
+    ) if os.path.isdir(masks_dir) else []
+    masks = []
+    last = np.zeros((height, width), dtype=bool)
+    for i in range(expected_frames):
+        if i < len(files):
+            img = np.asarray(Image.open(os.path.join(masks_dir, files[i])).convert("L"))
+            if img.shape != (height, width):
+                img = np.asarray(
+                    resize(jnp.asarray(img.astype(np.float32)[None]), (height, width),
+                           method="nearest")
+                )[0]
+            last = img > 128
+        masks.append(last)
+    return np.stack(masks, axis=0)
 
 
 def load_clip(

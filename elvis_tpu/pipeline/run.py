@@ -110,6 +110,17 @@ def _load_srnet_upsampler(config: ElvisConfig):
 
 def run_elvis(config: ElvisConfig) -> Dict:
     """Execute the pipeline; returns (and writes) analysis_results."""
+    if config.profile_dir:
+        # Device-level tracing (SURVEY.md §5.1: the reference only has
+        # wall-clock pairs; this adds XLA op-level traces on top).
+        import contextlib
+
+        with jax.profiler.trace(config.profile_dir):
+            return _run_elvis_impl(config)
+    return _run_elvis_impl(config)
+
+
+def _run_elvis_impl(config: ElvisConfig) -> Dict:
     t_pipeline = time.time()
     width, height, b = config.width, config.height, config.block_size
 
@@ -187,7 +198,14 @@ def run_elvis(config: ElvisConfig) -> Dict:
     scored = cache.get_or_run("scoring", [config.to_dict(), frames_np], _score)
     scores = jnp.asarray(scored["scores"])
     importance = scored["importance"]
-    fg_masks_pixel = scored["saliency"] >= 0.5  # (N,H,W) bool
+    if config.masks_dir:
+        # External ground-truth masks (DAVIS-style) override the saliency
+        # estimate for evaluation, like the reference's maps/ufo_masks.
+        from elvis_tpu.pipeline.io import load_masks
+
+        fg_masks_pixel = load_masks(config.masks_dir, width, height, n)
+    else:
+        fg_masks_pixel = scored["saliency"] >= 0.5  # (N,H,W) bool
     # persist masks like the reference's maps/ufo_masks (elvis.py:1186-1199)
     save_frames_png(
         (fg_masks_pixel * 255).astype(np.uint8)[..., None].repeat(3, -1),

@@ -4,6 +4,11 @@ from elvis_tpu.restore.inpaint import (
     restore_removal_temporal,
 )
 from elvis_tpu.restore.lanczos import restore_downsample_lanczos
+from elvis_tpu.restore.level_seq import (
+    level_sequential_restore,
+    naive_diffusion_restore,
+    naive_sr_restore,
+)
 from elvis_tpu.restore.progressive import progressive_restore
 from elvis_tpu.restore.registry import get_restorer, register_restorer, safe_restore
 from elvis_tpu.restore.temporal import temporal_blend
@@ -13,6 +18,9 @@ __all__ = [
     "get_restorer",
     "progressive_restore",
     "register_restorer",
+    "level_sequential_restore",
+    "naive_diffusion_restore",
+    "naive_sr_restore",
     "restore_blur_unsharp",
     "restore_dct_dampen_inverse",
     "restore_downsample_lanczos",
