@@ -57,7 +57,7 @@ def main() -> int:
     import os
 
     model = SRNet()
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)), "checkpoints", "srnet")
     if os.path.isdir(ckpt):
         import orbax.checkpoint as ocp
@@ -65,7 +65,7 @@ def main() -> int:
         params = ocp.StandardCheckpointer().restore(ckpt, params)
     else:
         model = SRNet(features=32, growth=16, num_blocks=2)
-        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     upsample = srnet_upsample_fn(model, params)
     max_level = int(levels.max())
 

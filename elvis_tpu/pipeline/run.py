@@ -348,7 +348,9 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         from elvis_tpu.models import InpaintNet
 
         net = InpaintNet()
-        template = net.init(jax.random.PRNGKey(0), seeded[:1], removal_mask[:1], b)
+        template = jax.jit(lambda r, x, m: net.init(r, x, m, b))(
+            jax.random.PRNGKey(0), seeded[:1], removal_mask[:1]
+        )
         params = ocp.StandardCheckpointer().restore(
             os.path.abspath(config.inpaint_params_path), template
         )
@@ -392,9 +394,8 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         from elvis_tpu.models import DeblurUNet
 
         net = DeblurUNet()
-        template = net.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, height, width, 3)), blur_levels_dec[:1], b,
+        template = jax.jit(lambda r, x, m: net.init(r, x, m, b))(
+            jax.random.PRNGKey(0), jnp.zeros((1, height, width, 3)), blur_levels_dec[:1]
         )
         params = ocp.StandardCheckpointer().restore(
             os.path.abspath(config.deblur_params_path), template

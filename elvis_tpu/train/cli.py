@@ -36,7 +36,7 @@ def train_srnet(steps: int, ckpt_dir: str, lr: float = 2e-4, batch: int = 16, pa
     from elvis_tpu.train import Trainer, synthetic_sr_batch
 
     model = SRNet()
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, patch // 2, patch // 2, 3)))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, patch // 2, patch // 2, 3)))
 
     def loss_fn(p, b, rng):
         lo, hi = b
@@ -71,11 +71,10 @@ def train_deblur(steps: int, ckpt_dir: str, lr: float = 2e-4, batch: int = 8, pa
 
     b = 8
     model = DeblurUNet(max_strength=float(max_rounds))
-    params = model.init(
+    params = jax.jit(lambda r, x, m: model.init(r, x, m, b))(
         jax.random.PRNGKey(0),
         jnp.zeros((1, patch, patch, 3)),
         jnp.zeros((1, patch // b, patch // b), jnp.int32),
-        b,
     )
 
     @jax.jit
@@ -115,11 +114,10 @@ def train_inpaint(steps: int, ckpt_dir: str, lr: float = 2e-4, frames: int = 8, 
     b = 8
     by = patch // b
     model = InpaintNet()
-    params = model.init(
+    params = jax.jit(lambda r, x, m: model.init(r, x, m, b))(
         jax.random.PRNGKey(0),
         jnp.zeros((frames, patch, patch, 3)),
         jnp.zeros((frames, by, by), jnp.int8),
-        b,
     )
 
     from elvis_tpu.core.blocks import upsample_map
@@ -162,7 +160,7 @@ def train_saliency(steps: int, ckpt_dir: str, lr: float = 1e-3, frames: int = 8,
     from elvis_tpu.train.data import synthetic_video_batch
 
     model = SaliencyNet()
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((frames, patch, patch, 3)))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((frames, patch, patch, 3)))
 
     @jax.jit
     def make_batch(rng):

@@ -112,7 +112,10 @@ class Trainer:
             mesh = make_mesh()
         self.mesh = mesh
         self.optimizer = optax.adamw(learning_rate)
-        opt_state = self.optimizer.init(params)
+        # jit the init: optax's eager per-leaf zeros_like dispatches ~2
+        # tiny device ops per parameter, which stalls badly on high-latency
+        # device transports (this image's TPU tunnel).
+        opt_state = jax.jit(self.optimizer.init)(params)
         self.step_fn, shard_state, self.shard_batch = make_sharded_train_step(
             loss_fn, self.optimizer, mesh
         )
