@@ -56,6 +56,9 @@ def main() -> int:
 
     import os
 
+    # Full-size flagship SRNet; loads trained weights when present. A fresh
+    # zero-init model computes identical FLOPs (and exactly reproduces the
+    # classical lanczos quality), so the throughput number is stable.
     model = SRNet()
     params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)), "checkpoints", "srnet")
@@ -63,25 +66,25 @@ def main() -> int:
         import orbax.checkpoint as ocp
 
         params = ocp.StandardCheckpointer().restore(ckpt, params)
-    else:
-        model = SRNet(features=32, growth=16, num_blocks=2)
-        params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     upsample = srnet_upsample_fn(model, params)
     max_level = int(levels.max())
 
+    # The jitted step returns a scalar checksum alongside the frames: on
+    # this runtime block_until_ready can acknowledge before execution
+    # completes, so timing forces a (tiny) scalar device->host pull, which
+    # cannot resolve until the whole computation ran.
     client = jax.jit(
-        lambda d, l: progressive_restore(
-            d, l, b, upsample_fn=upsample, max_level=max_level
+        lambda d, l: jnp.mean(
+            progressive_restore(d, l, b, upsample_fn=upsample, max_level=max_level)
         )
     )
-    jax.block_until_ready(client(degraded, levels))  # compile
+    float(client(degraded, levels))  # compile + run
 
     iters = 10
     t0 = time.time()
-    out = None
+    acc = 0.0
     for _ in range(iters):
-        out = client(degraded, levels)
-    jax.block_until_ready(out)
+        acc += float(client(degraded, levels))
     dt = (time.time() - t0) / iters
     fps = n / dt
 

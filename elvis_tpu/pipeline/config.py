@@ -112,6 +112,7 @@ class ElvisConfig:
     enable_vmaf: bool = True
     masks_dir: Optional[str] = None  # external FG masks (DAVIS-style PNG dir)
     profile_dir: Optional[str] = None  # jax.profiler trace output
+    data_parallel: bool = True  # shard frame axis across devices when possible
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

@@ -152,6 +152,22 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
     )
     execution_times["Preprocessing"] = time.time() - t0
 
+    # Frame-axis data parallelism (SURVEY.md §2.7 P1-P3 -> one sharding):
+    # per-frame restoration stages run sharded when the clip divides the
+    # device count; ops with temporal coupling stay unsharded here and use
+    # parallel.halo when scaled explicitly.
+    shard = lambda x: x  # noqa: E731
+    if config.data_parallel and len(jax.devices()) > 1 and n % len(jax.devices()) == 0:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from elvis_tpu.parallel import make_mesh
+
+        _mesh = make_mesh()
+
+        def shard(x):  # noqa: F811 — leading (frame) axis split, rest replicated
+            spec = PartitionSpec("data", *([None] * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(_mesh, spec))
+
     codec = NvcCodec()
     if config.codec != "nvc":
         raise NotImplementedError(
@@ -326,7 +342,7 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
     # --- stage 8: inpainting x3 (elvis.py:4601-4661) -------------------------
     t0 = time.time()
     decoded[APPROACHES.ELVIS_CV2] = np.asarray(
-        restore_removal_diffusion(stretched, removal_mask, b)
+        restore_removal_diffusion(shard(stretched), shard(removal_mask), b)
     )
     dt = time.time() - t0
     execution_times["CV2 Inpainting"] = dt
@@ -373,7 +389,7 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
     levels_dec = jnp.asarray(np.load(down_maps_path)["strength_maps"].astype(np.int32))
     neural_up = _load_srnet_upsampler(config)
     sr_out = progressive_restore(
-        jnp.asarray(down_decoded), levels_dec, b,
+        shard(jnp.asarray(down_decoded)), shard(levels_dec), b,
         **({"upsample_fn": neural_up} if neural_up else {}),
     )
     if config.temporal_blend > 0:
@@ -405,7 +421,8 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         )
     else:
         deblurred = restore_blur_unsharp(
-            jnp.asarray(blur_decoded), blur_levels_dec, b, config.gaussian_max_rounds
+            shard(jnp.asarray(blur_decoded)), shard(blur_levels_dec), b,
+            config.gaussian_max_rounds,
         )
     if config.temporal_blend > 0:
         deblurred = temporal_blend(deblurred, config.temporal_blend)

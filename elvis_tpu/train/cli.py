@@ -28,19 +28,46 @@ def _mesh():
 
 
 def train_srnet(steps: int, ckpt_dir: str, lr: float = 2e-4, batch: int = 16, patch: int = 64,
-                log_every: int = 50):
+                log_every: int = 50, block_size: int = 8):
+    """Train the 2x upsampler THROUGH the progressive restoration loop.
+
+    Per-stage SR training does not compose: the deployed model runs
+    inside the multi-stage loop (elvis_tpu.restore.progressive), where
+    residual errors re-enter the next 2x stage. The loop is pure jnp and
+    fully differentiable, so the loss is end-to-end:
+    ``|| progressive_restore(adaptive_downsample(clean)) - clean ||``.
+    The zero-init tail starts the model exactly at progressive-lanczos,
+    making training a monotone refinement of the classical baseline.
+    """
     import jax
     import jax.numpy as jnp
 
+    from elvis_tpu.degrade import adaptive_downsample
     from elvis_tpu.models import SRNet
-    from elvis_tpu.train import Trainer, synthetic_sr_batch
+    from elvis_tpu.restore.progressive import progressive_restore
+    from elvis_tpu.train import Trainer
+    from elvis_tpu.train.data import synthetic_frames
 
     model = SRNet()
     params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, patch // 2, patch // 2, 3)))
+    max_level = 3  # static stage count: factors up to 8x
 
-    def loss_fn(p, b, rng):
-        lo, hi = b
-        return jnp.mean((model.apply(p, lo) - hi) ** 2) / 255.0**2
+    @jax.jit
+    def make_batch(rng):
+        k1, k2 = jax.random.split(rng)
+        clean = synthetic_frames(k1, batch, patch, patch)
+        scores = jax.random.uniform(k2, (batch, patch // block_size, patch // block_size))
+        degraded, levels = adaptive_downsample(clean, scores, block_size)
+        return clean, degraded, levels
+
+    def loss_fn(p, data, rng):
+        clean, degraded, levels = data
+        restored = progressive_restore(
+            degraded, levels, block_size,
+            upsample_fn=lambda f: model.apply(p, f),
+            max_level=max_level,
+        )
+        return jnp.mean((restored - clean) ** 2) / 255.0**2
 
     import optax
 
@@ -52,7 +79,7 @@ def train_srnet(steps: int, ckpt_dir: str, lr: float = 2e-4, batch: int = 16, pa
     t0 = time.time()
     for step in range(steps):
         rng, k1, k2 = jax.random.split(rng, 3)
-        loss = trainer.step(synthetic_sr_batch(k1, batch, patch), k2)
+        loss = trainer.step(make_batch(k1), k2)
         if step % log_every == 0 or step == steps - 1:
             print(f"srnet step {step}: loss {loss:.6f} ({time.time()-t0:.0f}s)")
     trainer.save("srnet")
