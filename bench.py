@@ -27,7 +27,7 @@ def main() -> int:
     import jax.numpy as jnp
 
     from elvis_tpu.degrade import adaptive_downsample
-    from elvis_tpu.models import SRNet, srnet_upsample_fn
+    from elvis_tpu.models import SRNetCompact, srnet_upsample_fn
     from elvis_tpu.restore import progressive_restore
 
     n, h, w, b = 8, 1080, 1920, 8
@@ -56,12 +56,13 @@ def main() -> int:
 
     import os
 
-    # Full-size flagship SRNet; loads trained weights when present. A fresh
-    # zero-init model computes identical FLOPs (and exactly reproduces the
-    # classical lanczos quality), so the throughput number is stable.
-    model = SRNet()
+    # The real-time serving tier (SRNetCompact, the SRVGGNetCompact
+    # counterpart); loads trained weights when present. A fresh zero-init
+    # model computes identical FLOPs (and exactly reproduces classical
+    # progressive-lanczos quality), so the throughput number is stable.
+    model = SRNetCompact()
     params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
-    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)), "checkpoints", "srnet")
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)), "checkpoints", "srnet_compact")
     if os.path.isdir(ckpt):
         import orbax.checkpoint as ocp
 

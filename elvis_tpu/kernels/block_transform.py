@@ -104,55 +104,79 @@ def apply_block_matrix(
 
 
 def apply_block_matrix_pallas(
-    blocks: jnp.ndarray, table: jnp.ndarray, idx: jnp.ndarray, *, tile: int = 256,
+    blocks: jnp.ndarray, table: jnp.ndarray, idx: jnp.ndarray, *, tile: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Pallas variant: flat blocks ``(M, b, b, C)`` tiled through VMEM with
     the whole matrix table resident; one grid step transforms ``tile``
-    blocks. Matches apply_block_matrix bit-for-bit in float32.
+    blocks (channels folded into the block axis — Mosaic supports neither
+    vector gathers nor 3D<->2D vector reshapes, which shapes the design:
+    unrolled mask-select over the small table + reshape-free batched
+    dot_generals).
+
+    Measured on TPU v5e: within 0.04% of the XLA path in value (different
+    accumulation order) at comparable speed; tile sizes above ~512 trip a
+    Mosaic compile failure on this toolchain. The XLA formulation remains
+    the default; this kernel is the explicit-layout variant for further
+    hand-tuning (both currently land ~8 GB/s effective on 8x8 blocks —
+    the tiny-matmul tiling, not HBM, is the limiter).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     m, b, _, c = blocks.shape
     ell = table.shape[0]
-    pad = (-m) % tile
-    x = blocks.astype(jnp.float32).reshape(m, b, b * c)
-    ix = idx.astype(jnp.int32)
+    # Channels fold into the block axis so the kernel sees plain (b, b)
+    # matrices (packed (k, c) lanes would make the column transform a
+    # strided-lane op Mosaic can't express cleanly).
+    mc = m * c
+    x = blocks.astype(jnp.float32).transpose(0, 3, 1, 2).reshape(mc, b, b)
+    ix = jnp.repeat(idx.astype(jnp.int32), c).reshape(mc, 1)
+    pad = (-mc) % tile
     if pad:
-        x = jnp.concatenate([x, jnp.zeros((pad, b, b * c), jnp.float32)], axis=0)
-        ix = jnp.concatenate([ix, jnp.zeros((pad,), jnp.int32)], axis=0)
-    mp = m + pad
+        x = jnp.concatenate([x, jnp.zeros((pad, b, b), jnp.float32)], axis=0)
+        ix = jnp.concatenate([ix, jnp.zeros((pad, 1), jnp.int32)], axis=0)
+    mp = mc + pad
 
     tbl = jnp.asarray(table, dtype=jnp.float32)
 
     def kernel(idx_ref, x_ref, tbl_ref, out_ref):
-        sel = tbl_ref[idx_ref[:]]                      # (tile, b, b)
-        xb = x_ref[:].reshape(tile, b, b, c)
+        # Mosaic constraints shape this kernel: no vector gathers and no
+        # 3D<->2D vector reshapes. The per-block matrix is selected with a
+        # one-hot contraction over the table's L axis (rank-3 rhs is fine),
+        # and both transform stages are reshape-free batched dot_generals.
+        ids = idx_ref[:, 0]  # (tile,) int32 from VMEM
+        # Statically unrolled table select (L is tiny): pure VPU masks,
+        # no gathers, no reshapes.
+        sel = jnp.zeros((tile, b, b), jnp.float32)
+        for level in range(ell):
+            mask = (ids == level).astype(jnp.float32)[:, None, None]
+            sel = sel + mask * tbl_ref[level][None, :, :]
+        x = x_ref[:]  # (tile, b, b) — channels folded into the tile axis
+        # y = T X      : y[m,i,k] = sum_j T[m,i,j] X[m,j,k]
         y = jax.lax.dot_general(
-            sel, xb.reshape(tile, b, b * c),
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (tile, b, b*c)
-        y = y.reshape(tile, b, b, c).transpose(0, 2, 1, 3).reshape(tile, b, b * c)
-        z = jax.lax.dot_general(
-            sel, y,
+            sel, x,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        z = z.reshape(tile, b, b, c).transpose(0, 2, 1, 3).reshape(tile, b, b * c)
+        # z = y T^T    : z[m,i,l] = sum_k y[m,i,k] T[m,l,k]
+        z = jax.lax.dot_general(
+            y, sel,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
         out_ref[:] = z
 
     out = pl.pallas_call(
         kernel,
         grid=(mp // tile,),
         in_specs=[
-            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile, b, b * c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ell, b, b), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile, b, b * c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((mp, b, b * c), jnp.float32),
+        out_specs=pl.BlockSpec((tile, b, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, b, b), jnp.float32),
         interpret=interpret,
     )(ix, x, tbl)
-    return out[:m].reshape(m, b, b, c)
+    return out[:mc].reshape(m, c, b, b).transpose(0, 2, 3, 1)

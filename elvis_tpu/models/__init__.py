@@ -1,4 +1,4 @@
-from elvis_tpu.models.srnet import SRNet, srnet_upsample_fn
+from elvis_tpu.models.srnet import SRNet, SRNetCompact, srnet_upsample_fn
 from elvis_tpu.models.deblur_unet import DeblurUNet
 from elvis_tpu.models.inpaint_net import InpaintNet
 from elvis_tpu.models.saliency_net import SaliencyNet
@@ -9,6 +9,7 @@ __all__ = [
     "DiffusionRestorer",
     "InpaintNet",
     "SRNet",
+    "SRNetCompact",
     "SaliencyNet",
     "srnet_upsample_fn",
 ]

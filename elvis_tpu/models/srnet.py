@@ -27,7 +27,7 @@ import flax.linen as nn
 
 from elvis_tpu.ops.resize import resize
 
-__all__ = ["SRNet", "srnet_upsample_fn"]
+__all__ = ["SRNet", "SRNetCompact", "srnet_upsample_fn"]
 
 
 class DenseBlock(nn.Module):
@@ -94,6 +94,40 @@ class SRNet(nn.Module):
         residual = nn.Conv(3, (3, 3), dtype=jnp.float32, kernel_init=nn.initializers.zeros, name="tail")(
             h.astype(jnp.float32)
         )
+        return jnp.clip(base.astype(jnp.float32) + 127.5 * residual, 0.0, 255.0)
+
+
+class SRNetCompact(nn.Module):
+    """Fast 2x SR tier — the SRVGGNetCompact counterpart.
+
+    The reference instantiates either RRDBNet (quality) or SRVGGNetCompact
+    (speed) per model name (elvis.py:2384-2493); this is the speed tier:
+    a plain conv stack + pixel shuffle, same residual-over-Lanczos
+    contract as SRNet. ~6x fewer FLOPs than SRNet — the real-time 1080p
+    serving model.
+    """
+
+    features: int = 64
+    num_convs: int = 12
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        base = resize(x, (x.shape[-3] * 2, x.shape[-2] * 2), method="lanczos4")
+        h = (x.astype(jnp.float32) / 127.5 - 1.0).astype(self.dtype)
+        h = nn.Conv(self.features, (3, 3), dtype=self.dtype, name="head")(h)
+        h = nn.leaky_relu(h, 0.2)
+        for i in range(self.num_convs):
+            h = nn.Conv(self.features, (3, 3), dtype=self.dtype, name=f"conv{i}")(h)
+            h = nn.leaky_relu(h, 0.2)
+        h = nn.Conv(12, (3, 3), dtype=self.dtype, name="up")(h)  # 3ch x 2x2 shuffle
+        n, hh, ww, c = h.shape
+        h = h.reshape(n, hh, ww, 2, 2, 3).transpose(0, 1, 3, 2, 4, 5).reshape(
+            n, hh * 2, ww * 2, 3
+        )
+        residual = nn.Conv(
+            3, (3, 3), dtype=jnp.float32, kernel_init=nn.initializers.zeros, name="tail"
+        )(h.astype(jnp.float32))
         return jnp.clip(base.astype(jnp.float32) + 127.5 * residual, 0.0, 255.0)
 
 

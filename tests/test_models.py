@@ -11,6 +11,7 @@ from elvis_tpu.models import (
     DiffusionRestorer,
     InpaintNet,
     SRNet,
+    SRNetCompact,
     SaliencyNet,
     srnet_upsample_fn,
 )
@@ -36,6 +37,17 @@ class TestSRNet:
         model = SRNet(features=16, growth=8, num_blocks=1)
         params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
         x = jnp.asarray(np.random.default_rng(0).random((1, 16, 16, 3)) * 255, jnp.float32)
+        y = model.apply(params, x)
+        base = jnp.clip(resize(x, (32, 32), method="lanczos4"), 0, 255)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(base), atol=1e-3)
+
+    def test_compact_untrained_equals_lanczos(self):
+        """The serving tier shares SRNet's residual-over-lanczos contract."""
+        from elvis_tpu.ops.resize import resize
+
+        model = SRNetCompact(features=8, num_convs=2)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+        x = jnp.asarray(np.random.default_rng(1).random((2, 16, 16, 3)) * 255, jnp.float32)
         y = model.apply(params, x)
         base = jnp.clip(resize(x, (32, 32), method="lanczos4"), 0, 255)
         np.testing.assert_allclose(np.asarray(y), np.asarray(base), atol=1e-3)
