@@ -23,6 +23,7 @@ with one refinement probe when the miss exceeds 15%.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import struct
 from typing import Optional, Tuple
 
@@ -94,15 +95,17 @@ def _chroma_qp(luma_qp: np.ndarray) -> np.ndarray:
     return np.clip(np.round(q), 0, 51).astype(np.int32)
 
 
-_decode_plane_jit = jax.jit(decode_plane, static_argnums=(3, 4))
+_decode_plane_jit = jax.jit(decode_plane, static_argnums=(4, 5))
 
 
-@jax.jit
-def _encode_planes_jit(y, cb, cr, qp_y, qp_c):
-    ly, my, _ = encode_plane(y, qp_y)
-    lcb, mcb, _ = encode_plane(cb, qp_c)
-    lcr, mcr, _ = encode_plane(cr, qp_c)
-    return ly, my, lcb, mcb, lcr, mcr
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def _encode_planes_jit(y, cb, cr, qp_y, qp_c, me_radius, me_step):
+    ly, my, vy, _ = encode_plane(y, qp_y, me_radius=me_radius, me_step=me_step)
+    # chroma at half resolution: half the search radius
+    c_rad = max(me_radius // 2, 0)
+    lcb, mcb, vcb, _ = encode_plane(cb, qp_c, me_radius=c_rad, me_step=me_step)
+    lcr, mcr, vcr, _ = encode_plane(cr, qp_c, me_radius=c_rad, me_step=me_step)
+    return ly, my, vy, lcb, mcb, vcb, lcr, mcr, vcr
 
 
 def _pack_section(backend: int, payload: bytes) -> bytes:
@@ -122,6 +125,8 @@ def encode(
     framerate: float = 30.0,
     roi_delta_qp: Optional[np.ndarray] = None,
     gop: int = 0,
+    me_radius: int = 4,
+    me_step: int = 1,
 ) -> bytes:
     """frames ``(N, H, W, 3)`` uint8 RGB -> NVC bitstream bytes."""
     frames = np.asarray(frames)
@@ -134,16 +139,18 @@ def encode(
     qp_y = _qp_maps(n, by, bx, qp, roi_delta_qp)
     qp_c = _chroma_qp(qp_y)
 
-    ly, my, lcb, mcb, lcr, mcr = map(
+    ly, my, vy, lcb, mcb, vcb, lcr, mcr, vcr = map(
         np.asarray,
-        _encode_planes_jit(y, cb, cr, jnp.asarray(qp_y), jnp.asarray(qp_c)),
+        _encode_planes_jit(
+            y, cb, cr, jnp.asarray(qp_y), jnp.asarray(qp_c), me_radius, me_step
+        ),
     )
     ly, lcb, lcr = (a.astype(np.int16) for a in (ly, lcb, lcr))
 
     zz = zigzag_order(BLOCK)
     header = _MAGIC + struct.pack(
         "<BBHHHfbH",
-        1,  # version
+        2,  # version
         1 if roi_delta_qp is not None else 0,
         orig_w,
         orig_h,
@@ -157,9 +164,13 @@ def encode(
         # store the final luma QP map (already clamped) as uint8
         bk, pl = entropy.encode_bytes(qp_y.astype(np.uint8))
         parts.append(_pack_section(bk, pl))
-    for levels, modes in ((ly, my), (lcb, mcb), (lcr, mcr)):
+    for levels, modes, mvs in ((ly, my, vy), (lcb, mcb, vcb), (lcr, mcr, vcr)):
         bk_m, pl_m = entropy.encode_bytes(modes.astype(np.uint8))
         parts.append(_pack_section(bk_m, pl_m))
+        bk_v, pl_v = entropy.encode_bytes(
+            (mvs.astype(np.int16) + 128).astype(np.uint8)
+        )
+        parts.append(_pack_section(bk_v, pl_v))
         coeff_zz = levels.reshape(-1, BLOCK * BLOCK)[:, zz]
         bk_c, pl_c = entropy.encode_coeffs(coeff_zz, BLOCK * BLOCK)
         parts.append(_pack_section(bk_c, pl_c))
@@ -195,17 +206,21 @@ def decode(stream: bytes) -> Tuple[np.ndarray, float]:
     for by_, bx_ in ((by, bx), (cby, cbx), (cby, cbx)):
         bk_m, pl_m, off = _unpack_section(buf, off)
         modes = entropy.decode_bytes(bk_m, pl_m, n * by_ * bx_).reshape(n, by_, bx_)
+        bk_v, pl_v, off = _unpack_section(buf, off)
+        mvs = (
+            entropy.decode_bytes(bk_v, pl_v, n * by_ * bx_ * 2).astype(np.int16) - 128
+        ).astype(np.int8).reshape(n, by_, bx_, 2)
         bk_c, pl_c, off = _unpack_section(buf, off)
         flat = entropy.decode_coeffs(bk_c, pl_c, n * by_ * bx_ * BLOCK * BLOCK, BLOCK * BLOCK)
         levels = flat.reshape(-1, BLOCK * BLOCK)[:, inv].reshape(n, by_, bx_, BLOCK * BLOCK)
-        planes.append((levels, modes.astype(np.int8)))
+        planes.append((levels, modes.astype(np.int8), mvs))
 
-    (ly, my), (lcb, mcb), (lcr, mcr) = planes
+    (ly, my, vy), (lcb, mcb, vcb), (lcr, mcr, vcr) = planes
     # host->device as float32 (int16 transfers are pathologically slow here)
     as_f32 = lambda a: jnp.asarray(a.astype(np.float32))
-    y = _decode_plane_jit(as_f32(ly), jnp.asarray(my), jnp.asarray(qp_y), h, w)
-    cb = _decode_plane_jit(as_f32(lcb), jnp.asarray(mcb), jnp.asarray(qp_c), h // 2, w // 2)
-    cr = _decode_plane_jit(as_f32(lcr), jnp.asarray(mcr), jnp.asarray(qp_c), h // 2, w // 2)
+    y = _decode_plane_jit(as_f32(ly), jnp.asarray(my), jnp.asarray(vy), jnp.asarray(qp_y), h, w)
+    cb = _decode_plane_jit(as_f32(lcb), jnp.asarray(mcb), jnp.asarray(vcb), jnp.asarray(qp_c), h // 2, w // 2)
+    cr = _decode_plane_jit(as_f32(lcr), jnp.asarray(mcr), jnp.asarray(vcr), jnp.asarray(qp_c), h // 2, w // 2)
     rgb = yuv420_to_rgb(y, cb, cr)
     rgb = jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
     return np.asarray(rgb[:, :orig_h, :orig_w]), float(fps)
@@ -231,30 +246,28 @@ class NvcCodec:
         framerate: float = 30.0,
         roi_delta_qp: Optional[np.ndarray] = None,
         gop: int = 0,
+        me_radius: int = 4,
+        me_step: int = 1,
     ) -> bytes:
         if (qp is None) == (target_bitrate is None):
             raise ValueError("specify exactly one of qp / target_bitrate")
+        kw = dict(framerate=framerate, roi_delta_qp=roi_delta_qp, gop=gop,
+                  me_radius=me_radius, me_step=me_step)
         if qp is not None:
-            return encode(
-                frames, qp=qp, framerate=framerate, roi_delta_qp=roi_delta_qp, gop=gop
-            )
+            return encode(frames, qp=qp, **kw)
 
         n = frames.shape[0]
         duration = n / framerate
         target_bits = target_bitrate * duration
 
         qp_probe = 32
-        stream = encode(
-            frames, qp=qp_probe, framerate=framerate, roi_delta_qp=roi_delta_qp, gop=gop
-        )
+        stream = encode(frames, qp=qp_probe, **kw)
         bits = len(stream) * 8
         # bits roughly halve per +6 QP
         qp_est = int(np.clip(round(qp_probe + 6 * np.log2(bits / target_bits)), 0, 51))
         if qp_est == qp_probe:
             return stream
-        stream = encode(
-            frames, qp=qp_est, framerate=framerate, roi_delta_qp=roi_delta_qp, gop=gop
-        )
+        stream = encode(frames, qp=qp_est, **kw)
         bits2 = len(stream) * 8
         if abs(bits2 - target_bits) / target_bits > 0.15:
             # one refinement step using the locally measured slope
@@ -268,10 +281,7 @@ class NvcCodec:
                 np.clip(round(qp_est + np.log2(target_bits / bits2) / slope), 0, 51)
             )
             if qp_ref != qp_est:
-                stream = encode(
-                    frames, qp=qp_ref, framerate=framerate,
-                    roi_delta_qp=roi_delta_qp, gop=gop,
-                )
+                stream = encode(frames, qp=qp_ref, **kw)
         return stream
 
     def decode(self, stream: bytes) -> Tuple[np.ndarray, float]:

@@ -72,13 +72,61 @@ def _dequantize(levels: jnp.ndarray, qstep: jnp.ndarray) -> jnp.ndarray:
     return levels.astype(jnp.float32) * qstep[..., None, None]
 
 
-def encode_plane(plane: jnp.ndarray, qp_map: jnp.ndarray, gop: int = 0):
+def _motion_search(prev_recon: jnp.ndarray, cur_blocks: jnp.ndarray, radius: int, step: int):
+    """Full-search block motion on the previous reconstruction.
+
+    prev_recon ``(H, W)``, cur_blocks ``(By, Bx, b, b)`` ->
+    mv ``(By, Bx, 2)`` int32 (dy, dx) minimizing per-block SAD. The
+    candidate offsets are a static grid, evaluated as whole-frame rolls
+    with per-block reductions (no per-block Python) — the TPU-native
+    formulation of motion estimation.
+    """
+    offsets = [
+        (dy, dx)
+        for dy in range(-radius, radius + 1, step)
+        for dx in range(-radius, radius + 1, step)
+    ]
+    sads = []
+    for dy, dx in offsets:
+        shifted = jnp.roll(jnp.roll(prev_recon, -dy, axis=0), -dx, axis=1)
+        diff = jnp.abs(cur_blocks - _blocks_of(shifted))
+        sads.append(diff.sum(axis=(-2, -1)))
+    best = jnp.argmin(jnp.stack(sads, axis=-1), axis=-1)  # (By,Bx)
+    table = jnp.asarray(offsets, dtype=jnp.int32)
+    return table[best]
+
+
+def _motion_predict(prev_recon: jnp.ndarray, mv: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-block motion-compensated prediction.
+
+    prev_recon ``(H, W)``, mv ``(By, Bx, 2)`` -> pred blocks
+    ``(By, Bx, b, b)``; source coordinates clamp at frame edges (encoder
+    and decoder share this exactly)."""
+    h, w = prev_recon.shape
+    by, bx = mv.shape[0], mv.shape[1]
+    base_y = (jnp.arange(by) * BLOCK)[:, None, None, None]
+    base_x = (jnp.arange(bx) * BLOCK)[None, :, None, None]
+    iy = jnp.arange(BLOCK)[None, None, :, None]
+    ix = jnp.arange(BLOCK)[None, None, None, :]
+    src_y = jnp.clip(base_y + iy + mv[..., 0][..., None, None], 0, h - 1)
+    src_x = jnp.clip(base_x + ix + mv[..., 1][..., None, None], 0, w - 1)
+    return prev_recon[src_y, src_x]
+
+
+def encode_plane(
+    plane: jnp.ndarray,
+    qp_map: jnp.ndarray,
+    gop: int = 0,
+    me_radius: int = 4,
+    me_step: int = 1,
+):
     """plane ``(N, H, W)`` float32 [0,255]; qp_map ``(N, By, Bx)`` int.
 
-    Returns (levels (N,By,Bx,64) int16 in raster coefficient order,
-    modes (N,By,Bx) int8, recon (N,H,W) float32).
+    Returns (levels (N,By,Bx,64) float32 in raster coefficient order,
+    modes (N,By,Bx) int8, mv (N,By,Bx,2) int8, recon (N,H,W) float32).
 
     ``gop``: intra-frame period (0 = only frame 0 is intra).
+    ``me_radius/me_step``: motion-search grid (0 radius = zero-motion).
     """
     n, h, w = plane.shape
     qstep = qstep_from_qp(qp_map)  # (N,By,Bx)
@@ -89,7 +137,11 @@ def encode_plane(plane: jnp.ndarray, qp_map: jnp.ndarray, gop: int = 0):
 
     def step(recon_prev, inputs):
         blocks, qs, intra_only = inputs
-        pred = _blocks_of(recon_prev)  # (By,Bx,8,8)
+        if me_radius > 0:
+            mv = _motion_search(recon_prev, blocks, me_radius, me_step)
+        else:
+            mv = jnp.zeros(blocks.shape[:2] + (2,), jnp.int32)
+        pred = _motion_predict(recon_prev, mv)  # (By,Bx,8,8)
 
         res_inter = blocks - pred
         lv_intra = _quantize(block_dct2(blocks), qs)
@@ -100,34 +152,46 @@ def encode_plane(plane: jnp.ndarray, qp_map: jnp.ndarray, gop: int = 0):
         use_inter = jnp.logical_and(cost_inter <= cost_intra, ~intra_only)
 
         lv = jnp.where(use_inter[..., None, None], lv_inter, lv_intra)
+        mv = jnp.where(use_inter[..., None], mv, 0)
         rec_res = block_idct2(_dequantize(lv, qs))
         rec = jnp.where(use_inter[..., None, None], rec_res + pred, rec_res)
         rec = jnp.clip(rec, 0.0, 255.0)
         recon = _plane_of(rec)
-        return recon, (lv, use_inter.astype(jnp.int8), recon)
+        return recon, (lv, use_inter.astype(jnp.int8), mv.astype(jnp.int8), recon)
 
     init = jnp.zeros((h, w), dtype=jnp.float32)
-    _, (levels, modes, recons) = jax.lax.scan(
+    _, (levels, modes, mvs, recons) = jax.lax.scan(
         step, init, (frames_blocks, qstep, force_intra)
     )
     by, bx = levels.shape[1], levels.shape[2]
     # float32 return: int16 device->host transfers are pathologically slow
     # on this TPU runtime (~3 orders of magnitude); values are exact in f32.
-    return levels.reshape(n, by, bx, BLOCK * BLOCK).astype(jnp.float32), modes, recons
+    return (
+        levels.reshape(n, by, bx, BLOCK * BLOCK).astype(jnp.float32),
+        modes,
+        mvs,
+        recons,
+    )
 
 
 def decode_plane(
-    levels: jnp.ndarray, modes: jnp.ndarray, qp_map: jnp.ndarray, h: int, w: int
+    levels: jnp.ndarray,
+    modes: jnp.ndarray,
+    mvs: jnp.ndarray,
+    qp_map: jnp.ndarray,
+    h: int,
+    w: int,
 ) -> jnp.ndarray:
     """Inverse of encode_plane: levels ``(N,By,Bx,64)``, modes
-    ``(N,By,Bx)``, qp_map ``(N,By,Bx)`` -> plane ``(N,H,W)`` float32."""
+    ``(N,By,Bx)``, mvs ``(N,By,Bx,2)``, qp_map ``(N,By,Bx)`` ->
+    plane ``(N,H,W)`` float32."""
     n, by, bx, _ = levels.shape
     qstep = qstep_from_qp(qp_map)
     lv = levels.reshape(n, by, bx, BLOCK, BLOCK).astype(jnp.float32)
 
     def step(recon_prev, inputs):
-        lvl, mode, qs = inputs
-        pred = _blocks_of(recon_prev)
+        lvl, mode, mv, qs = inputs
+        pred = _motion_predict(recon_prev, mv.astype(jnp.int32))
         rec_res = block_idct2(lvl * qs[..., None, None])
         rec = jnp.where((mode == MODE_INTER)[..., None, None], rec_res + pred, rec_res)
         rec = jnp.clip(rec, 0.0, 255.0)
@@ -135,5 +199,5 @@ def decode_plane(
         return recon, recon
 
     init = jnp.zeros((h, w), dtype=jnp.float32)
-    _, recons = jax.lax.scan(step, init, (lv, modes, qstep))
+    _, recons = jax.lax.scan(step, init, (lv, modes, mvs, qstep))
     return recons

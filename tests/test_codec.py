@@ -267,3 +267,31 @@ class TestPresetsAndBitrate:
     def test_bitrate_model(self):
         # elvis.py:857-862: W*H*fps*0.01*qf
         assert calculate_target_bitrate(640, 360, 30, 1.2) == int(640 * 360 * 30 * 0.012)
+
+
+class TestMotionCompensation:
+    def test_me_beats_zero_motion_on_panning(self, rng):
+        """A panning clip (pure translation) should cost far fewer bits
+        with motion search than with zero-motion prediction."""
+        from elvis_tpu.codec import NvcCodec
+
+        frame = (rng.random((64, 96, 3)) * 200 + 20).astype(np.uint8)
+        pan = np.stack(
+            [np.roll(np.roll(frame, 3 * t, axis=1), t, axis=0) for t in range(6)]
+        )
+        codec = NvcCodec()
+        s_zero = codec.encode(pan, qp=30, framerate=24.0, me_radius=0)
+        s_me = codec.encode(pan, qp=30, framerate=24.0, me_radius=4, me_step=1)
+        assert len(s_me) < 0.75 * len(s_zero), (len(s_me), len(s_zero))
+        dec, _ = codec.decode(s_me)
+        assert dec.shape == pan.shape
+
+    def test_mv_roundtrip_deterministic(self, tiny_video):
+        from elvis_tpu.codec import NvcCodec
+
+        codec = NvcCodec()
+        s1 = codec.encode(tiny_video, qp=30, framerate=24.0)
+        s2 = codec.encode(tiny_video, qp=30, framerate=24.0)
+        assert s1 == s2
+        dec, fps = codec.decode(s1)
+        assert dec.shape == tiny_video.shape and fps == 24.0
