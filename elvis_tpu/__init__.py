@@ -17,4 +17,22 @@ jax.sharding over a device mesh.
 
 from elvis_tpu.version import __version__
 
-__all__ = ["__version__"]
+__all__ = ["__version__", "ElvisConfig", "run_elvis", "NvcCodec"]
+
+
+def __getattr__(name):
+    # Lazy top-level API (importing the pipeline pulls in jax/flax; keep
+    # `import elvis_tpu` cheap for tooling).
+    if name == "ElvisConfig":
+        from elvis_tpu.pipeline.config import ElvisConfig
+
+        return ElvisConfig
+    if name == "run_elvis":
+        from elvis_tpu.pipeline.run import run_elvis
+
+        return run_elvis
+    if name == "NvcCodec":
+        from elvis_tpu.codec.nvc.codec import NvcCodec
+
+        return NvcCodec
+    raise AttributeError(name)
