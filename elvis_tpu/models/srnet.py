@@ -103,12 +103,16 @@ class SRNetCompact(nn.Module):
     The reference instantiates either RRDBNet (quality) or SRVGGNetCompact
     (speed) per model name (elvis.py:2384-2493); this is the speed tier:
     a plain conv stack + pixel shuffle, same residual-over-Lanczos
-    contract as SRNet. ~6x fewer FLOPs than SRNet — the real-time 1080p
-    serving model.
+    contract as SRNet. The real-time 1080p serving model.
+
+    Defaults are MXU-shaped: 128 channels fill the systolic array's lanes
+    exactly — measured on v5e, a 128ch x 5conv stack runs 20% FASTER than
+    64ch x 12conv despite 1.7x the FLOPs (64-channel convs pack the MXU at
+    half occupancy).
     """
 
-    features: int = 64
-    num_convs: int = 12
+    features: int = 128
+    num_convs: int = 5
     dtype: Any = jnp.bfloat16
 
     @nn.compact
