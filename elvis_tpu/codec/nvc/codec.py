@@ -98,13 +98,14 @@ def _chroma_qp(luma_qp: np.ndarray) -> np.ndarray:
 _decode_plane_jit = jax.jit(decode_plane, static_argnums=(4, 5))
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6))
-def _encode_planes_jit(y, cb, cr, qp_y, qp_c, me_radius, me_step):
-    ly, my, vy, _ = encode_plane(y, qp_y, me_radius=me_radius, me_step=me_step)
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def _encode_planes_jit(y, cb, cr, qp_y, qp_c, me_radius, me_step, me_halfpel):
+    kw = dict(me_radius=me_radius, me_step=me_step, me_halfpel=me_halfpel)
+    ly, my, vy, _ = encode_plane(y, qp_y, **kw)
     # chroma at half resolution: half the search radius
-    c_rad = max(me_radius // 2, 0)
-    lcb, mcb, vcb, _ = encode_plane(cb, qp_c, me_radius=c_rad, me_step=me_step)
-    lcr, mcr, vcr, _ = encode_plane(cr, qp_c, me_radius=c_rad, me_step=me_step)
+    ckw = dict(kw, me_radius=max(me_radius // 2, 0))
+    lcb, mcb, vcb, _ = encode_plane(cb, qp_c, **ckw)
+    lcr, mcr, vcr, _ = encode_plane(cr, qp_c, **ckw)
     return ly, my, vy, lcb, mcb, vcb, lcr, mcr, vcr
 
 
@@ -127,6 +128,7 @@ def encode(
     gop: int = 0,
     me_radius: int = 4,
     me_step: int = 1,
+    me_halfpel: bool = True,
 ) -> bytes:
     """frames ``(N, H, W, 3)`` uint8 RGB -> NVC bitstream bytes."""
     frames = np.asarray(frames)
@@ -142,7 +144,8 @@ def encode(
     ly, my, vy, lcb, mcb, vcb, lcr, mcr, vcr = map(
         np.asarray,
         _encode_planes_jit(
-            y, cb, cr, jnp.asarray(qp_y), jnp.asarray(qp_c), me_radius, me_step
+            y, cb, cr, jnp.asarray(qp_y), jnp.asarray(qp_c),
+            me_radius, me_step, me_halfpel,
         ),
     )
     ly, lcb, lcr = (a.astype(np.int16) for a in (ly, lcb, lcr))
@@ -248,11 +251,12 @@ class NvcCodec:
         gop: int = 0,
         me_radius: int = 4,
         me_step: int = 1,
+        me_halfpel: bool = True,
     ) -> bytes:
         if (qp is None) == (target_bitrate is None):
             raise ValueError("specify exactly one of qp / target_bitrate")
         kw = dict(framerate=framerate, roi_delta_qp=roi_delta_qp, gop=gop,
-                  me_radius=me_radius, me_step=me_step)
+                  me_radius=me_radius, me_step=me_step, me_halfpel=me_halfpel)
         if qp is not None:
             return encode(frames, qp=qp, **kw)
 

@@ -3,8 +3,9 @@
 Per 8x8 block: DCT (MXU matmuls, elvis_tpu.ops.dct) -> uniform scalar
 quantization with per-block QP (H.264-style Qstep = 2^((QP-4)/6)) ->
 int16 levels. P-frames choose per block between intra (transform the
-pixels) and inter (transform the residual against the previous
-*reconstructed* frame, zero motion) by quantized-coefficient cost; the
+pixels) and inter (motion-compensated residual against the previous
+*reconstructed* frame: full-search integer motion + half-pel bilinear
+refinement) by quantized-coefficient cost; the
 encoder runs the same reconstruction the decoder will, as a ``lax.scan``
 over the frame axis, so there is no drift.
 
@@ -96,21 +97,57 @@ def _motion_search(prev_recon: jnp.ndarray, cur_blocks: jnp.ndarray, radius: int
     return table[best]
 
 
-def _motion_predict(prev_recon: jnp.ndarray, mv: jnp.ndarray) -> jnp.ndarray:
-    """Gather per-block motion-compensated prediction.
+def _motion_predict(prev_recon: jnp.ndarray, mv2: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-block motion-compensated prediction at HALF-PEL
+    resolution.
 
-    prev_recon ``(H, W)``, mv ``(By, Bx, 2)`` -> pred blocks
-    ``(By, Bx, b, b)``; source coordinates clamp at frame edges (encoder
-    and decoder share this exactly)."""
+    prev_recon ``(H, W)``, mv2 ``(By, Bx, 2)`` in half-pel units -> pred
+    blocks ``(By, Bx, b, b)``. Fractional positions bilinearly average the
+    two/four neighbouring pels; source coordinates clamp at frame edges.
+    Encoder and decoder share this function exactly (no drift).
+    """
     h, w = prev_recon.shape
-    by, bx = mv.shape[0], mv.shape[1]
+    by, bx = mv2.shape[0], mv2.shape[1]
     base_y = (jnp.arange(by) * BLOCK)[:, None, None, None]
     base_x = (jnp.arange(bx) * BLOCK)[None, :, None, None]
     iy = jnp.arange(BLOCK)[None, None, :, None]
     ix = jnp.arange(BLOCK)[None, None, None, :]
-    src_y = jnp.clip(base_y + iy + mv[..., 0][..., None, None], 0, h - 1)
-    src_x = jnp.clip(base_x + ix + mv[..., 1][..., None, None], 0, w - 1)
-    return prev_recon[src_y, src_x]
+    # position in half-pel units
+    py = 2 * (base_y + iy) + mv2[..., 0][..., None, None]
+    px = 2 * (base_x + ix) + mv2[..., 1][..., None, None]
+    y0 = jnp.clip(py // 2, 0, h - 1)
+    x0 = jnp.clip(px // 2, 0, w - 1)
+    y1 = jnp.clip(y0 + (py % 2), 0, h - 1)
+    x1 = jnp.clip(x0 + (px % 2), 0, w - 1)
+    return 0.25 * (
+        prev_recon[y0, x0]
+        + prev_recon[y0, x1]
+        + prev_recon[y1, x0]
+        + prev_recon[y1, x1]
+    )
+
+
+def _halfpel_refine(
+    prev_recon: jnp.ndarray, cur_blocks: jnp.ndarray, mv_int: jnp.ndarray
+) -> jnp.ndarray:
+    """Refine integer motion to half-pel: evaluate the 9 half-pel
+    candidates around each block's integer vector, keep the SAD minimizer.
+    Returns mv in half-pel units ``(By, Bx, 2)`` int32."""
+    base2 = mv_int * 2
+    cands = []
+    sads = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            mv2 = base2 + jnp.asarray([dy, dx], jnp.int32)
+            pred = _motion_predict(prev_recon, mv2)
+            sads.append(jnp.abs(cur_blocks - pred).sum(axis=(-2, -1)))
+            cands.append(mv2)
+    best = jnp.argmin(jnp.stack(sads, axis=-1), axis=-1)  # (By,Bx)
+    stacked = jnp.stack(cands, axis=0)  # (9,By,Bx,2)
+    onehot = (
+        jnp.arange(9)[:, None, None] == best[None]
+    ).astype(jnp.int32)[..., None]
+    return (stacked * onehot).sum(axis=0)
 
 
 def encode_plane(
@@ -119,11 +156,13 @@ def encode_plane(
     gop: int = 0,
     me_radius: int = 4,
     me_step: int = 1,
+    me_halfpel: bool = True,
 ):
     """plane ``(N, H, W)`` float32 [0,255]; qp_map ``(N, By, Bx)`` int.
 
     Returns (levels (N,By,Bx,64) float32 in raster coefficient order,
-    modes (N,By,Bx) int8, mv (N,By,Bx,2) int8, recon (N,H,W) float32).
+    modes (N,By,Bx) int8, mv (N,By,Bx,2) int8 in HALF-PEL units,
+    recon (N,H,W) float32).
 
     ``gop``: intra-frame period (0 = only frame 0 is intra).
     ``me_radius/me_step``: motion-search grid (0 radius = zero-motion).
@@ -138,7 +177,11 @@ def encode_plane(
     def step(recon_prev, inputs):
         blocks, qs, intra_only = inputs
         if me_radius > 0:
-            mv = _motion_search(recon_prev, blocks, me_radius, me_step)
+            mv_int = _motion_search(recon_prev, blocks, me_radius, me_step)
+            if me_halfpel:
+                mv = _halfpel_refine(recon_prev, blocks, mv_int)  # half-pel
+            else:
+                mv = mv_int * 2  # integer motion in half-pel units
         else:
             mv = jnp.zeros(blocks.shape[:2] + (2,), jnp.int32)
         pred = _motion_predict(recon_prev, mv)  # (By,Bx,8,8)

@@ -295,3 +295,37 @@ class TestMotionCompensation:
         assert s1 == s2
         dec, fps = codec.decode(s1)
         assert dec.shape == tiny_video.shape and fps == 24.0
+
+    def test_encoder_decoder_recon_sync(self, tiny_video):
+        """The encoder's in-loop reconstruction must equal the decoder's
+        output exactly (any prediction mismatch = drift)."""
+        import jax.numpy as jnp
+
+        from elvis_tpu.codec.nvc.transform import decode_plane, encode_plane
+        from elvis_tpu.ops.color import rgb_to_yuv420
+
+        y, _, _ = rgb_to_yuv420(jnp.asarray(tiny_video).astype(jnp.float32))
+        qp = jnp.full((5, 6, 8), 30, jnp.int32)
+        levels, modes, mvs, recons = encode_plane(y, qp)
+        dec = decode_plane(levels, modes, mvs, qp, 48, 64)
+        np.testing.assert_allclose(np.asarray(dec), np.asarray(recons), atol=1e-4)
+
+    def test_halfpel_beats_integer_me_on_subpixel_pan(self):
+        """Band-limited content panning 0.5 px/frame: half-pel refinement
+        must code cheaper than integer-only motion."""
+        from elvis_tpu.codec import NvcCodec
+
+        # band-limited parent (no energy near hi-res Nyquist), sampled at
+        # even/odd phases -> true half-pel shifts of the same signal
+        yy, xx = np.mgrid[0:64, 0:400].astype(np.float32)
+        hi = (
+            128
+            + 60 * np.sin(2 * np.pi * xx / 64) * np.cos(2 * np.pi * yy / 24)
+            + 40 * np.sin(2 * np.pi * (xx + 2 * yy) / 90)
+        )
+        frames = np.stack([hi[:, t : t + 192 : 2] for t in range(8)])
+        clip = np.repeat(np.clip(frames, 0, 255).astype(np.uint8)[..., None], 3, -1)
+        codec = NvcCodec()
+        s_half = codec.encode(clip, qp=30, framerate=24.0, me_halfpel=True)
+        s_int = codec.encode(clip, qp=30, framerate=24.0, me_halfpel=False)
+        assert len(s_half) < 0.9 * len(s_int), (len(s_half), len(s_int))
