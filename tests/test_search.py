@@ -75,3 +75,23 @@ class TestDrivers:
                 assert all(
                     f.suffix.lower() in (".json", ".png") for f in files if f.is_file()
                 )
+
+
+@pytest.mark.slow
+class TestRdCurve:
+    def test_sweep_produces_monotone_curves(self, tmp_path):
+        from elvis_tpu.search.rd_curve import plot_curves, rd_sweep
+
+        out = tmp_path / "rd.json"
+        curves = rd_sweep(
+            "synthetic://moving?frames=5", 96, 64, qps=(28, 40),
+            out_json=str(out),
+        )
+        assert out.exists()
+        for label, pts in curves.items():
+            assert len(pts) == 2, label
+            lo, hi = sorted(pts, key=lambda p: p["kbps"])
+            assert hi["psnr"] > lo["psnr"], label  # more bits, more quality
+        png = tmp_path / "rd.png"
+        plot_curves(curves, str(png))
+        assert png.stat().st_size > 1000
