@@ -329,3 +329,19 @@ class TestMotionCompensation:
         s_half = codec.encode(clip, qp=30, framerate=24.0, me_halfpel=True)
         s_int = codec.encode(clip, qp=30, framerate=24.0, me_halfpel=False)
         assert len(s_half) < 0.9 * len(s_int), (len(s_half), len(s_int))
+
+    def test_gop_periodic_intra(self, rng):
+        """gop=N forces intra refresh every N frames: a corrupted-prefix
+        decode is impossible to test without bitstream surgery, but the
+        mode maps must show full-intra frames at the period."""
+        import jax.numpy as jnp
+
+        from elvis_tpu.codec.nvc.transform import encode_plane
+
+        frame = (rng.random((32, 32)) * 255).astype(np.float32)
+        clip = jnp.asarray(np.stack([frame] * 6))  # static: inter always wins
+        qp = jnp.full((6, 4, 4), 28, jnp.int32)
+        _, modes, _, _ = encode_plane(clip, qp, gop=3)
+        m = np.asarray(modes)
+        assert (m[0] == 0).all() and (m[3] == 0).all()  # intra refresh
+        assert (m[1] == 1).all() and (m[4] == 1).all()  # static -> inter
