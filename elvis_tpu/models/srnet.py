@@ -65,11 +65,17 @@ class RRDB(nn.Module):
 
 
 class SRNet(nn.Module):
-    """2x super-resolution: ``(N, H, W, 3) float32 [0,255] -> (N, 2H, 2W, 3)``."""
+    """2x super-resolution: ``(N, H, W, 3) float32 [0,255] -> (N, 2H, 2W, 3)``.
 
-    features: int = 64
-    growth: int = 32
-    num_blocks: int = 6
+    Defaults are MXU-shaped: 128-channel trunks fill the systolic array's
+    lanes — measured on v5e, f128/g128/b3 (9.6M params) runs at the same
+    speed as f64/g32/b6 (2.3M params). Capacity is free when the channel
+    width matches the hardware.
+    """
+
+    features: int = 128
+    growth: int = 128
+    num_blocks: int = 3
     dtype: Any = jnp.bfloat16
 
     @nn.compact
