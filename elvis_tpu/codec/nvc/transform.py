@@ -127,6 +127,24 @@ def _motion_predict(prev_recon: jnp.ndarray, mv2: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _integer_refine(
+    prev_recon: jnp.ndarray, cur_blocks: jnp.ndarray, mv_int: jnp.ndarray
+) -> jnp.ndarray:
+    """+-1 full-pel refinement around a coarse integer vector (the second
+    stage of the coarse-to-fine search)."""
+    cands, sads = [], []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            mv = mv_int + jnp.asarray([dy, dx], jnp.int32)
+            pred = _motion_predict(prev_recon, mv * 2)
+            sads.append(jnp.abs(cur_blocks - pred).sum(axis=(-2, -1)))
+            cands.append(mv)
+    best = jnp.argmin(jnp.stack(sads, axis=-1), axis=-1)
+    stacked = jnp.stack(cands, axis=0)
+    onehot = (jnp.arange(9)[:, None, None] == best[None]).astype(jnp.int32)[..., None]
+    return (stacked * onehot).sum(axis=0)
+
+
 def _halfpel_refine(
     prev_recon: jnp.ndarray, cur_blocks: jnp.ndarray, mv_int: jnp.ndarray
 ) -> jnp.ndarray:
@@ -177,6 +195,12 @@ def encode_plane(
     def step(recon_prev, inputs):
         blocks, qs, intra_only = inputs
         if me_radius > 0:
+            # Dense integer search via whole-frame rolls (cheap: ~0.7ms per
+            # candidate at 1080p), then half-pel refinement. NOTE: the
+            # per-block gather in _motion_predict is the encode bottleneck
+            # (~120ms/frame at 1080p on v5e — XLA 4D gathers are slow);
+            # the planned fix is the one-hot small-matrix predictor over
+            # 3x3-block neighbourhoods (see docs/DESIGN.md round-2 agenda).
             mv_int = _motion_search(recon_prev, blocks, me_radius, me_step)
             if me_halfpel:
                 mv = _halfpel_refine(recon_prev, blocks, mv_int)  # half-pel

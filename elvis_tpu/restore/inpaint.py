@@ -78,19 +78,34 @@ def restore_removal_temporal(
     removal_mask: jnp.ndarray,
     block_size: int,
     iters: int = 60,
+    window: int = 8,
 ) -> jnp.ndarray:
-    """Fill each removed block from the temporally nearest frame where the
-    co-located block is present, then diffuse residual holes."""
+    """Fill each removed block from the temporally nearest frame (within
+    +-``window``) where the co-located block is present, then diffuse
+    residual holes.
+
+    The search is windowed (O(N*window) rather than the O(N^2) all-pairs
+    distance matrix): removal decisions are per-frame argsorts of
+    temporally-smoothed scores, so a co-located survivor is almost always
+    within a few frames; blocks unavailable in the whole window fall back
+    to PDE diffusion like never-available ones.
+    """
     n = frames.shape[0]
     removed = removal_mask.astype(bool)  # (N,By,Bx)
 
-    # distance[t, s] = |t - s| with +inf where source s is also removed.
+    # For each target frame t, scan offsets by increasing |delta| and keep
+    # the first clean source (edge-clamped indices; a clamped duplicate
+    # offset is either the same frame or already considered).
     t_idx = jnp.arange(n)
-    dist = jnp.abs(t_idx[:, None] - t_idx[None, :]).astype(jnp.float32)  # (N,N)
-    # (N_target, N_source, By, Bx)
-    penal = jnp.where(removed[None, :], jnp.inf, dist[:, :, None, None])
-    src = jnp.argmin(penal, axis=1)  # (N,By,Bx) nearest clean source frame
-    never_avail = jnp.isinf(jnp.min(penal, axis=1))  # (N,By,Bx)
+    best_src = jnp.full(removed.shape, -1, dtype=jnp.int32)
+    for d in range(1, window + 1):
+        for delta in (-d, d):
+            s_idx = jnp.clip(t_idx + delta, 0, n - 1)  # (N,)
+            clean = ~removed[s_idx]  # (N,By,Bx): source block available
+            take = (best_src < 0) & clean & (s_idx != t_idx)[:, None, None]
+            best_src = jnp.where(take, s_idx[:, None, None], best_src)
+    never_avail = best_src < 0
+    src = jnp.where(never_avail, t_idx[:, None, None], best_src)
 
     # Gather source pixels per block: expand maps to pixel resolution.
     src_pix = upsample_map(src, block_size)  # (N,H,W)
