@@ -169,6 +169,9 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
             return jax.device_put(x, NamedSharding(_mesh, spec))
 
     codec = NvcCodec()
+    # ~1-second keyframe interval like the reference's `-g framerate`
+    # (elvis.py:1298) — bounds seek/error propagation.
+    gop = max(int(round(framerate)), 1)
     if config.codec != "nvc":
         raise NotImplementedError(
             f"codec {config.codec!r}: external encoders are available through "
@@ -236,7 +239,7 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
     # --- stage 2: baseline encode (elvis.py:4364-4381) ---------------------
     t0 = time.time()
     streams["baseline"] = codec.encode(
-        frames_np, target_bitrate=target_bitrate, framerate=framerate
+        frames_np, target_bitrate=target_bitrate, framerate=framerate, gop=gop
     )
     decoded[APPROACHES.BASELINE], _ = codec.decode(streams["baseline"])
     dt = time.time() - t0
@@ -251,7 +254,7 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
     masks_npz = os.path.join(experiment_dir, f"shrink_masks_{b}.npz")
     save_removal_masks_npz(np.asarray(removal_mask), masks_npz)
     streams["shrunk"] = codec.encode(
-        np.asarray(shrunk), target_bitrate=target_bitrate, framerate=framerate
+        np.asarray(shrunk), target_bitrate=target_bitrate, framerate=framerate, gop=gop
     )
     shrunk_decoded, _ = codec.decode(streams["shrunk"])
     dt = time.time() - t0
@@ -269,7 +272,7 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
     dqp = np.clip(np.round(dqp_f), -14, 14).astype(np.int8)
     streams["roi"] = codec.encode(
         frames_np, target_bitrate=target_bitrate, framerate=framerate,
-        roi_delta_qp=dqp,
+        roi_delta_qp=dqp, gop=gop,
     )
     decoded[APPROACHES.PRESLEY_QP], _ = codec.decode(streams["roi"])
     dt = time.time() - t0
@@ -280,7 +283,7 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
     t0 = time.time()
     down_frames, down_levels = adaptive_downsample(frames, scores, b)
     streams["downsampled"] = codec.encode(
-        np.asarray(down_frames), target_bitrate=target_bitrate, framerate=framerate
+        np.asarray(down_frames), target_bitrate=target_bitrate, framerate=framerate, gop=gop
     )
     down_maps_path = os.path.join(maps_dir, "downsample_maps.npz")
     sidecar_sizes["downsample"] = save_strength_maps_npz(
@@ -297,7 +300,7 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         frames, scores, b, config.gaussian_max_rounds
     )
     streams["gaussian"] = codec.encode(
-        np.asarray(blur_frames), target_bitrate=target_bitrate, framerate=framerate
+        np.asarray(blur_frames), target_bitrate=target_bitrate, framerate=framerate, gop=gop
     )
     blur_maps_path = os.path.join(maps_dir, "gaussian_maps.npz")
     sidecar_sizes["gaussian"] = save_strength_maps_npz(
@@ -317,7 +320,8 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         t0 = time.time()
         damp_frames, damp_levels = dct_dampen(frames, scores, b)
         streams["dampened"] = codec.encode(
-            np.asarray(damp_frames), target_bitrate=target_bitrate, framerate=framerate
+            np.asarray(damp_frames), target_bitrate=target_bitrate,
+            framerate=framerate, gop=gop,
         )
         damp_maps_path = os.path.join(maps_dir, "dampen_maps.npz")
         sidecar_sizes["dampen"] = save_strength_maps_npz(
