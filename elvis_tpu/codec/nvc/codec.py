@@ -79,7 +79,8 @@ def _qp_maps(
             d = np.stack(
                 [
                     np.asarray(
-                        resize(jnp.asarray(d[i].astype(np.float32)), (by, bx), method="area")
+                        resize(jnp.asarray(d[i].astype(np.float32)), (by, bx),
+                               method="area", channels=False)
                     )
                     for i in range(d.shape[0])
                 ]
@@ -98,9 +99,9 @@ def _chroma_qp(luma_qp: np.ndarray) -> np.ndarray:
 _decode_plane_jit = jax.jit(decode_plane, static_argnums=(4, 5))
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7))
-def _encode_planes_jit(y, cb, cr, qp_y, qp_c, me_radius, me_step, me_halfpel):
-    kw = dict(me_radius=me_radius, me_step=me_step, me_halfpel=me_halfpel)
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def _encode_planes_jit(y, cb, cr, qp_y, qp_c, gop, me_radius, me_step, me_halfpel):
+    kw = dict(gop=gop, me_radius=me_radius, me_step=me_step, me_halfpel=me_halfpel)
     ly, my, vy, _ = encode_plane(y, qp_y, **kw)
     # chroma at half resolution: half the search radius
     ckw = dict(kw, me_radius=max(me_radius // 2, 0))
@@ -145,7 +146,7 @@ def encode(
         np.asarray,
         _encode_planes_jit(
             y, cb, cr, jnp.asarray(qp_y), jnp.asarray(qp_c),
-            me_radius, me_step, me_halfpel,
+            int(gop), me_radius, me_step, me_halfpel,
         ),
     )
     ly, lcb, lcr = (a.astype(np.int16) for a in (ly, lcb, lcr))
@@ -227,6 +228,25 @@ def decode(stream: bytes) -> Tuple[np.ndarray, float]:
     rgb = yuv420_to_rgb(y, cb, cr)
     rgb = jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
     return np.asarray(rgb[:, :orig_h, :orig_w]), float(fps)
+
+
+def luma_modes(stream: bytes) -> np.ndarray:
+    """Tooling/tests: per-block luma prediction modes ``(N, By, Bx)`` int8
+    (MODE_INTRA=0 / MODE_INTER=1) parsed from a container stream — lets
+    container-level tests assert GOP periodic-intra behaviour."""
+    assert stream[:4] == _MAGIC, "not an NVC stream"
+    _, has_roi, orig_w, orig_h, n, _, _, _ = struct.unpack_from("<BBHHHfbH", stream, 4)
+    off = 4 + struct.calcsize("<BBHHHfbH")
+    buf = memoryview(stream)
+    h = orig_h + ((-orig_h) % _PAD)
+    w = orig_w + ((-orig_w) % _PAD)
+    by, bx = h // BLOCK, w // BLOCK
+    if has_roi:
+        _, _, off = _unpack_section(buf, off)
+    bk_m, pl_m, _ = _unpack_section(buf, off)
+    return (
+        entropy.decode_bytes(bk_m, pl_m, n * by * bx).reshape(n, by, bx).astype(np.int8)
+    )
 
 
 class NvcCodec:

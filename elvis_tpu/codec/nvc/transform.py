@@ -87,9 +87,15 @@ def _motion_search(prev_recon: jnp.ndarray, cur_blocks: jnp.ndarray, radius: int
         for dy in range(-radius, radius + 1, step)
         for dx in range(-radius, radius + 1, step)
     ]
+    # Edge-replicate pad so candidate shifts clamp at the frame border —
+    # the same pixels _motion_predict will read — instead of wrapping
+    # pixels in from the opposite edge (which let edge blocks pick vectors
+    # scored against the wrong content).
+    h, w = prev_recon.shape
+    padded = jnp.pad(prev_recon, radius, mode="edge")
     sads = []
     for dy, dx in offsets:
-        shifted = jnp.roll(jnp.roll(prev_recon, -dy, axis=0), -dx, axis=1)
+        shifted = jax.lax.dynamic_slice(padded, (radius + dy, radius + dx), (h, w))
         diff = jnp.abs(cur_blocks - _blocks_of(shifted))
         sads.append(diff.sum(axis=(-2, -1)))
     best = jnp.argmin(jnp.stack(sads, axis=-1), axis=-1)  # (By,Bx)
@@ -248,12 +254,8 @@ def encode_plane(
     def step(recon_prev, inputs):
         blocks, qs, intra_only = inputs
         if me_radius > 0:
-            # Dense integer search via whole-frame rolls (cheap: ~0.7ms per
-            # candidate at 1080p), then half-pel refinement. NOTE: the
-            # per-block gather in _motion_predict is the encode bottleneck
-            # (~120ms/frame at 1080p on v5e — XLA 4D gathers are slow);
-            # the planned fix is the one-hot small-matrix predictor over
-            # 3x3-block neighbourhoods (see docs/DESIGN.md round-2 agenda).
+            # Dense integer search via whole-frame shifts (cheap: ~0.7ms per
+            # candidate at 1080p), then half-pel refinement.
             mv_int = _motion_search(recon_prev, blocks, me_radius, me_step)
             if me_halfpel:
                 mv = _halfpel_refine(recon_prev, blocks, mv_int)  # half-pel

@@ -74,7 +74,8 @@ def _regrid(maps: np.ndarray, rows: int, cols: int, block_size: int, ctu: int) -
     if (rows, cols) == (by, bx):
         return maps.astype(np.float32)
     method = "area" if ctu >= block_size else "linear"
-    out = resize(jnp.asarray(maps.astype(np.float32)), (rows, cols), method=method)
+    out = resize(jnp.asarray(maps.astype(np.float32)), (rows, cols), method=method,
+                 channels=False)
     return np.asarray(out)
 
 
@@ -139,7 +140,9 @@ def write_svtav1_roi(
         for frame_idx, importance in enumerate(importance_scores):
             imp = np.asarray(importance, dtype=np.float32)
             if imp.shape != (rows, cols):
-                imp = np.asarray(resize(jnp.asarray(imp), (rows, cols), method="area"))
+                imp = np.asarray(
+                    resize(jnp.asarray(imp), (rows, cols), method="area", channels=False)
+                )
             levels = np.clip((imp * AV1_SEGMENTS).astype(np.int32), 0, AV1_SEGMENTS - 1)
             dqp = qp_range - (levels * 2 * qp_range // (AV1_SEGMENTS - 1))
             dqp = np.clip(dqp, lo - base_crf, hi - base_crf)

@@ -112,17 +112,25 @@ def resize(
     method: str = "linear",
     *,
     clip_uint8_range: bool = True,
+    channels: "bool | None" = None,
 ) -> jnp.ndarray:
     """Resize ``(..., H, W)`` or ``(..., H, W, C)`` images to ``out_hw``.
 
     Compute runs in float32 on the MXU; the result is cast back to the
     input dtype (rounded + clipped for integer inputs, matching cv2's
     saturate_cast).
+
+    ``channels`` states explicitly whether the trailing dim is a channel
+    axis. Leave ``None`` for the heuristic (trailing dim in {1,3,4}), but
+    pass ``channels=False`` for channel-less block/score maps, whose
+    trailing dim can legitimately be 3 or 4 blocks wide.
     """
     out_h, out_w = out_hw
-    # Heuristic: a trailing dim of 1/3/4 is a channel axis. For genuinely
-    # 3/4-pixel-wide channel-less images, add an explicit trailing axis.
-    has_c = images.ndim >= 3 and images.shape[-1] in (1, 3, 4)
+    if channels is None:
+        # Heuristic: a trailing dim of 1/3/4 is a channel axis.
+        has_c = images.ndim >= 3 and images.shape[-1] in (1, 3, 4)
+    else:
+        has_c = bool(channels) and images.ndim >= 3
     x = images if has_c else images[..., None]
     *_, h, w, _ = x.shape
 

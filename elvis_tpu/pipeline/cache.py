@@ -27,9 +27,13 @@ def _digest(obj: Any) -> str:
         if isinstance(x, np.ndarray):
             h.update(str(x.shape).encode())
             h.update(str(x.dtype).encode())
-            h.update(np.ascontiguousarray(x).tobytes()[:1 << 20])
+            # Full-buffer hash: a truncated digest collides for arrays that
+            # differ only past the prefix (one 720p frame is ~2.7 MB), which
+            # would silently serve stale cached stages. sha1 over the whole
+            # buffer is cheap next to the stages being cached.
+            h.update(np.ascontiguousarray(x).tobytes())
         elif isinstance(x, (bytes, bytearray)):
-            h.update(x[:1 << 20])
+            h.update(bytes(x))
         elif isinstance(x, dict):
             for k in sorted(x):
                 h.update(str(k).encode())

@@ -30,6 +30,7 @@ def rd_sweep(
     import jax.numpy as jnp
 
     from elvis_tpu.codec import NvcCodec
+    from elvis_tpu.codec.sidecar import encode_strength_maps
     from elvis_tpu.core.blocks import blockwise_reduce
     from elvis_tpu.degrade import adaptive_blur, adaptive_downsample
     from elvis_tpu.metrics import masked_psnr, masked_ssim
@@ -58,6 +59,10 @@ def rd_sweep(
 
     down_frames, down_levels = adaptive_downsample(x, scores, block_size)
     blur_frames, blur_levels = adaptive_blur(x, scores, block_size)
+    # Charge each degraded approach the ACTUAL compressed sidecar size the
+    # pipeline ships (not an assumed ratio), so RD comparisons are honest.
+    down_sidecar_bytes = len(encode_strength_maps(np.asarray(down_levels).astype(np.uint8)))
+    blur_sidecar_bytes = len(encode_strength_maps(np.asarray(blur_levels).astype(np.uint8)))
     dqp_f = (1.0 - np.asarray(imp)) * 30.0 - 15.0
     dqp_f -= dqp_f.mean(axis=(1, 2), keepdims=True)
     dqp = np.clip(np.round(dqp_f), -14, 14).astype(np.int8)
@@ -93,17 +98,16 @@ def rd_sweep(
             jnp.asarray(dn_dec), down_levels, block_size,
             max_level=int(down_levels.max()),
         )
-        add("PRESLEY RealESRGAN", qp, s_dn, restored,
-            extra_bytes=int(np.asarray(down_levels).astype(np.uint8).nbytes // 4))
+        add("PRESLEY RealESRGAN", qp, s_dn, restored, extra_bytes=down_sidecar_bytes)
         add("PRESLEY Lanczos", qp, s_dn,
             restore_downsample_lanczos(jnp.asarray(dn_dec), down_levels, block_size),
-            extra_bytes=int(np.asarray(down_levels).astype(np.uint8).nbytes // 4))
+            extra_bytes=down_sidecar_bytes)
 
         s_bl = codec.encode(np.asarray(blur_frames).astype(np.uint8), qp=qp, framerate=fps)
         bl_dec, _ = codec.decode(s_bl)
         add("PRESLEY Unsharp", qp, s_bl,
             restore_blur_unsharp(jnp.asarray(bl_dec), blur_levels, block_size),
-            extra_bytes=int(np.asarray(blur_levels).astype(np.uint8).nbytes // 4))
+            extra_bytes=blur_sidecar_bytes)
 
     if out_json:
         with open(out_json, "w") as f:

@@ -345,3 +345,20 @@ class TestMotionCompensation:
         m = np.asarray(modes)
         assert (m[0] == 0).all() and (m[3] == 0).all()  # intra refresh
         assert (m[1] == 1).all() and (m[4] == 1).all()  # static -> inter
+
+    def test_gop_forwarded_through_container(self, rng):
+        """Container-level GOP: NvcCodec.encode(gop=N) must actually produce
+        periodic all-intra frames in the stream (regression: gop was written
+        into the header but never forwarded to encode_plane)."""
+        from elvis_tpu.codec import NvcCodec
+        from elvis_tpu.codec.nvc.codec import luma_modes
+
+        frame = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+        clip = np.stack([frame] * 6)  # static: inter always wins when allowed
+        codec = NvcCodec()
+        stream = codec.encode(clip, qp=28, framerate=24.0, gop=3)
+        m = luma_modes(stream)
+        assert (m[0] == 0).all() and (m[3] == 0).all(), "GOP intra refresh missing"
+        assert (m[1] == 1).all() and (m[4] == 1).all()
+        dec, _ = codec.decode(stream)
+        assert dec.shape == clip.shape

@@ -55,6 +55,17 @@ class TestResize:
         y = np.asarray(R.resize(img, (4, 4), method="lanczos4"))
         assert y.dtype == np.uint8
 
+    def test_channels_false_for_narrow_block_maps(self):
+        """Regression: an (N, By, 3) block map must resize the SPATIAL axes
+        when channels=False — the heuristic alone would treat Bx=3 as RGB."""
+        maps = jnp.asarray(np.arange(24, dtype=np.float32).reshape(2, 4, 3))
+        y = np.asarray(R.resize(maps, (2, 6), method="area", channels=False))
+        assert y.shape == (2, 2, 6)
+        # heuristic path (channels=None) misreads the trailing 3 as RGB and
+        # resizes the wrong axes — documents why call sites pass the flag
+        y_heur = np.asarray(R.resize(maps, (2, 6), method="area"))
+        assert y_heur.shape == (2, 6, 3)
+
 
 class TestFilter:
     def test_gaussian_kernel_matches_cv2_values(self):

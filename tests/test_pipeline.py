@@ -171,3 +171,36 @@ class TestIo:
         write_y4m(tiny_video, str(p), 24.0)
         frames, fps = load_clip(str(p))
         assert frames.shape == tiny_video.shape and fps == 24.0
+
+
+class TestStageCache:
+    def test_roundtrip_and_invalidation(self, tmp_path):
+        from elvis_tpu.pipeline.cache import StageCache
+
+        cache = StageCache(str(tmp_path))
+        calls = []
+
+        def make(tag, arr):
+            def fn():
+                calls.append(tag)
+                return {"out": arr}
+            return fn
+
+        a = np.zeros((3, 4), np.float32)
+        r1 = cache.get_or_run("s", [a], make("first", a))
+        r2 = cache.get_or_run("s", [a], make("second", a))
+        np.testing.assert_array_equal(r1["out"], r2["out"])
+        assert calls == ["first"]  # second call served from cache
+
+    def test_digest_covers_full_buffer(self, tmp_path):
+        """Regression: arrays identical in their first 1 MB but different
+        later must NOT collide (a 720p frame is ~2.7 MB)."""
+        from elvis_tpu.pipeline.cache import StageCache
+
+        cache = StageCache(str(tmp_path))
+        a = np.zeros(2 * (1 << 20), np.uint8)
+        b = a.copy()
+        b[-1] = 7  # differs only past the first 1 MB
+        r_a = cache.get_or_run("s", [a], lambda: {"v": np.asarray([1])})
+        r_b = cache.get_or_run("s", [b], lambda: {"v": np.asarray([2])})
+        assert r_a["v"][0] == 1 and r_b["v"][0] == 2
