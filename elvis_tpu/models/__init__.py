@@ -1,7 +1,7 @@
 from elvis_tpu.models.srnet import SRNet, SRNetCompact, srnet_upsample_fn
 from elvis_tpu.models.deblur_unet import DeblurUNet
 from elvis_tpu.models.inpaint_net import InpaintNet
-from elvis_tpu.models.saliency_net import SaliencyNet
+from elvis_tpu.models.saliency_net import SaliencyNet, make_neural_saliency_fn
 from elvis_tpu.models.diffusion import DiffusionRestorer
 
 __all__ = [
@@ -11,5 +11,6 @@ __all__ = [
     "SRNet",
     "SRNetCompact",
     "SaliencyNet",
+    "make_neural_saliency_fn",
     "srnet_upsample_fn",
 ]

@@ -13,7 +13,14 @@ from __future__ import annotations
 import argparse
 import time
 
-__all__ = ["train_srnet", "train_deblur", "train_inpaint", "train_saliency", "main"]
+__all__ = [
+    "train_srnet",
+    "train_srnet_compact",
+    "train_deblur",
+    "train_inpaint",
+    "train_saliency",
+    "main",
+]
 
 
 def _mesh():
@@ -27,9 +34,9 @@ def _mesh():
     return make_mesh()
 
 
-def train_srnet(steps: int, ckpt_dir: str, lr: float = 2e-4, batch: int = 16, patch: int = 64,
-                log_every: int = 50, block_size: int = 8):
-    """Train the 2x upsampler THROUGH the progressive restoration loop.
+def _train_sr(model, tag: str, steps: int, ckpt_dir: str, lr: float, batch: int,
+              patch: int, log_every: int, block_size: int):
+    """Train a 2x upsampler THROUGH the progressive restoration loop.
 
     Per-stage SR training does not compose: the deployed model runs
     inside the multi-stage loop (elvis_tpu.restore.progressive), where
@@ -38,26 +45,36 @@ def train_srnet(steps: int, ckpt_dir: str, lr: float = 2e-4, batch: int = 16, pa
     ``|| progressive_restore(adaptive_downsample(clean)) - clean ||``.
     The zero-init tail starts the model exactly at progressive-lanczos,
     making training a monotone refinement of the classical baseline.
+
+    Data is the natural-statistics corpus (dead leaves + fractal texture,
+    elvis_tpu.train.data.natural_frames) with codec-artifact augmentation —
+    on band-limited synthetic content Lanczos is already near-optimal and
+    there is nothing to learn (the round-1 blocker); on occlusion-edge
+    content the learned edge prior has real headroom.
     """
     import jax
     import jax.numpy as jnp
 
     from elvis_tpu.degrade import adaptive_downsample
-    from elvis_tpu.models import SRNet
     from elvis_tpu.restore.progressive import progressive_restore
     from elvis_tpu.train import Trainer
-    from elvis_tpu.train.data import synthetic_frames
+    from elvis_tpu.train.data import codec_noise, natural_frames, synthetic_frames
 
-    model = SRNet()
     params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, patch // 2, patch // 2, 3)))
     max_level = 3  # static stage count: factors up to 8x
 
     @jax.jit
     def make_batch(rng):
-        k1, k2 = jax.random.split(rng)
-        clean = synthetic_frames(k1, batch, patch, patch)
+        k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+        # 3:1 natural-statistics to legacy band-limited content
+        clean = jnp.where(
+            jax.random.bernoulli(k4, 0.75, (batch, 1, 1, 1)),
+            natural_frames(k1, batch, patch, patch),
+            synthetic_frames(k5, batch, patch, patch),
+        )
         scores = jax.random.uniform(k2, (batch, patch // block_size, patch // block_size))
         degraded, levels = adaptive_downsample(clean, scores, block_size)
+        degraded = codec_noise(k3, degraded, block_size)
         return clean, degraded, levels
 
     def loss_fn(p, data, rng):
@@ -81,9 +98,25 @@ def train_srnet(steps: int, ckpt_dir: str, lr: float = 2e-4, batch: int = 16, pa
         rng, k1, k2 = jax.random.split(rng, 3)
         loss = trainer.step(make_batch(k1), k2)
         if step % log_every == 0 or step == steps - 1:
-            print(f"srnet step {step}: loss {loss:.6f} ({time.time()-t0:.0f}s)")
-    trainer.save("srnet")
+            print(f"{tag} step {step}: loss {loss:.6f} ({time.time()-t0:.0f}s)", flush=True)
+    trainer.save(tag)
     return trainer
+
+
+def train_srnet(steps: int, ckpt_dir: str, lr: float = 2e-4, batch: int = 16, patch: int = 64,
+                log_every: int = 50, block_size: int = 8):
+    from elvis_tpu.models import SRNet
+
+    return _train_sr(SRNet(), "srnet", steps, ckpt_dir, lr, batch, patch,
+                     log_every, block_size)
+
+
+def train_srnet_compact(steps: int, ckpt_dir: str, lr: float = 4e-4, batch: int = 16,
+                        patch: int = 64, log_every: int = 50, block_size: int = 8):
+    from elvis_tpu.models import SRNetCompact
+
+    return _train_sr(SRNetCompact(), "srnet_compact", steps, ckpt_dir, lr, batch,
+                     patch, log_every, block_size)
 
 
 def train_deblur(steps: int, ckpt_dir: str, lr: float = 2e-4, batch: int = 8, patch: int = 64,
@@ -213,6 +246,7 @@ def train_saliency(steps: int, ckpt_dir: str, lr: float = 1e-3, frames: int = 8,
 
 _TRAINERS = {
     "srnet": train_srnet,
+    "srnet_compact": train_srnet_compact,
     "deblur": train_deblur,
     "inpaint": train_inpaint,
     "saliency": train_saliency,

@@ -16,7 +16,15 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["synthetic_frames", "synthetic_sr_batch", "synthetic_video_batch"]
+__all__ = [
+    "synthetic_frames",
+    "synthetic_sr_batch",
+    "synthetic_video_batch",
+    "dead_leaves",
+    "fractal_noise",
+    "natural_frames",
+    "codec_noise",
+]
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
@@ -76,6 +84,128 @@ def synthetic_sr_batch(rng, batch: int, patch: int = 64):
     hi = jnp.where(pick, hi_sharp, hi_native)
     lo = resize(hi, (patch // 2, patch // 2), method="area")
     return lo, hi
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def fractal_noise(rng, batch: int, height: int, width: int) -> jnp.ndarray:
+    """1/f^alpha spectral noise — the power spectrum of natural textures.
+
+    White spectral noise shaped by ``f^-alpha`` (alpha drawn per sample in
+    [0.9, 1.6], bracketing the ~1.2 measured for natural images), inverse
+    FFT, unit variance. Channels share a luminance field plus small
+    independent chroma, matching natural inter-channel correlation.
+    """
+    k1, k2, k3 = jax.random.split(rng, 3)
+    fy = jnp.fft.fftfreq(height)[:, None]
+    fx = jnp.fft.fftfreq(width)[None, :]
+    f = jnp.sqrt(fy**2 + fx**2).at[0, 0].set(1.0)  # keep DC finite
+
+    alpha = jax.random.uniform(k1, (batch, 1, 1, 1), minval=0.9, maxval=1.6)
+    spec = jax.random.normal(k2, (batch, height, width, 2, 2))
+    z = jax.lax.complex(spec[..., 0], spec[..., 1])  # (B,H,W,2): luma+chroma seed
+    filt = f[None, :, :, None] ** (-alpha)
+    img = jnp.fft.ifft2(z * filt, axes=(1, 2)).real  # (B,H,W,2)
+    std = img.std(axis=(1, 2), keepdims=True) + 1e-6
+    img = img / std
+    luma, chroma = img[..., :1], img[..., 1:]
+    mix = jax.random.uniform(k3, (batch, 1, 1, 3), minval=-0.35, maxval=0.35)
+    return luma + mix * chroma  # (B,H,W,3), ~unit std, correlated channels
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def dead_leaves(rng, batch: int, height: int, width: int, num_shapes: int = 80) -> jnp.ndarray:
+    """Dead-leaves occlusion model: the canonical natural-image-statistics
+    generator (power-law object sizes + occlusion => 1/f spectrum, sharp
+    scale-invariant edges). This is the family where a learned upsampler
+    has real headroom over Lanczos: step edges destroyed by area
+    downsampling are statistically recoverable from the occlusion prior.
+    Returns (B,H,W,3) float32 in [0,255].
+    """
+    keys = jax.random.split(rng, 10)
+    yy = jnp.arange(height, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(width, dtype=jnp.float32)[None, :]
+
+    K, B = num_shapes, batch
+    cy = jax.random.uniform(keys[0], (K, B), minval=-0.1, maxval=1.1) * height
+    cx = jax.random.uniform(keys[1], (K, B), minval=-0.1, maxval=1.1) * width
+    # r^-3 size density (classic dead leaves): r = rmin / sqrt(u)
+    u = jax.random.uniform(keys[2], (K, B), minval=1e-3, maxval=1.0)
+    r = jnp.clip(4.0 / jnp.sqrt(u), 2.0, 0.6 * min(height, width))
+    # elongation down to 0.12 gives thin structures (branches, strokes)
+    aspect = jnp.exp(jax.random.uniform(keys[3], (K, B), minval=-2.1, maxval=0.0))
+    theta = jax.random.uniform(keys[4], (K, B), minval=0.0, maxval=3.14159)
+    is_disk = jax.random.bernoulli(keys[5], 0.7, (K, B))
+    # correlated natural colors: shared gray level + small chroma offsets
+    gray = jax.random.uniform(keys[6], (K, B, 1), minval=15.0, maxval=240.0)
+    chroma = 28.0 * jax.random.normal(keys[7], (K, B, 3))
+    color = jnp.clip(gray + chroma, 0.0, 255.0)  # (K,B,3)
+
+    def paint(img, shape):
+        scy, scx, sr, sa, sth, sdisk, scol = shape
+        dy = yy[None] - scy[:, None, None]  # (B,H,W)
+        dx = xx[None] - scx[:, None, None]
+        c, s = jnp.cos(sth)[:, None, None], jnp.sin(sth)[:, None, None]
+        ry = (c * dy - s * dx) / (sr * sa)[:, None, None]
+        rx = (s * dy + c * dx) / sr[:, None, None]
+        mask_disk = ry**2 + rx**2 < 1.0
+        mask_rect = (jnp.abs(ry) < 0.9) & (jnp.abs(rx) < 0.9)
+        mask = jnp.where(sdisk[:, None, None], mask_disk, mask_rect)
+        img = jnp.where(mask[..., None], scol[:, None, None, :], img)
+        return img, None
+
+    # background: mid-gray + fractal texture so uncovered area is natural
+    bg = 128.0 + 30.0 * fractal_noise(keys[8], batch, height, width)
+    img, _ = jax.lax.scan(paint, bg, (cy, cx, r, aspect, theta, is_disk, color))
+    return jnp.clip(img, 0.0, 255.0)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def natural_frames(rng, batch: int, height: int, width: int) -> jnp.ndarray:
+    """The SR training corpus: dead-leaves structure + in-object fractal
+    texture + smooth illumination + sensor noise — procedural content with
+    natural edge/spectral statistics (the round-1 blocker was band-limited
+    synthetic content on which Lanczos is already near-optimal)."""
+    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+    base = dead_leaves(k1, batch, height, width)
+    tex_amp = jax.random.uniform(k2, (batch, 1, 1, 1), minval=0.0, maxval=22.0)
+    tex = tex_amp * fractal_noise(k3, batch, height, width)
+    # large-scale illumination gradient (decorrelates blocks)
+    yy = jnp.linspace(-1, 1, height)[None, :, None, None]
+    xx = jnp.linspace(-1, 1, width)[None, None, :, None]
+    gy = jax.random.uniform(k4, (batch, 1, 1, 1), minval=-18.0, maxval=18.0)
+    gx = jax.random.uniform(k4, (batch, 1, 1, 1), minval=-18.0, maxval=18.0)
+    sigma = jax.random.uniform(k5, (batch, 1, 1, 1), minval=0.0, maxval=3.0)
+    noise = sigma * jax.random.normal(k5, (batch, height, width, 3))
+    return jnp.clip(base + tex + gy * yy + gx * xx + noise, 0.0, 255.0)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def codec_noise(rng, frames: jnp.ndarray, block: int = 8) -> jnp.ndarray:
+    """Codec-artifact augmentation: blockwise DCT quantize/dequantize at a
+    random QP per sample (H.264-style Qstep=2^((QP-4)/6)), applied with
+    probability ~0.7. At inference the restorers see DECODED frames
+    (pipeline stage 9 runs on the codec round-trip), so training inputs
+    carry matching blocking/ringing artifacts. No gradient flows through
+    data generation, so the hard rounding is fine under jit."""
+    from elvis_tpu.codec.nvc.transform import qstep_from_qp
+    from elvis_tpu.core.blocks import combine_blocks, split_into_blocks
+    from elvis_tpu.ops.dct import block_dct2, block_idct2
+
+    k1, k2 = jax.random.split(rng)
+    n = frames.shape[0]
+    qp = jax.random.uniform(k1, (n, 1, 1, 1, 1, 1), minval=16.0, maxval=38.0)
+    apply = jax.random.bernoulli(k2, 0.7, (n, 1, 1, 1))
+    qstep = qstep_from_qp(qp)
+
+    x = frames.astype(jnp.float32) - 128.0
+    blocks = split_into_blocks(x, block)  # (B,By,Bx,b,b,3)
+    planes = jnp.moveaxis(blocks, -1, 1)  # (B,3,By,Bx,b,b)
+    coeffs = block_dct2(planes)
+    levels = jnp.round(coeffs / qstep)
+    recon = block_idct2(levels * qstep)
+    out = combine_blocks(jnp.moveaxis(recon, 1, -1)) + 128.0
+    out = jnp.clip(out, 0.0, 255.0)
+    return jnp.where(apply, out, frames)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))

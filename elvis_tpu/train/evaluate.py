@@ -1,0 +1,168 @@
+"""Held-out SR evaluation: does the trained upsampler beat Lanczos?
+
+The reference's flagship quality claim is trained-ESRGAN > Lanczos on the
+progressive restoration task (DEGRADATION_ABLATION_REPORT.tex:266-287:
+SSIM 0.8550/0.8059 vs 0.8533/0.7753 at s=3/s=4). This harness makes the
+same comparison for the in-framework SRNet/SRNetCompact on content the
+training generator never produced:
+
+  * ``photo`` — a real photograph (matplotlib's bundled grace_hopper.jpg,
+    the only natural image in this zero-egress build environment);
+  * ``leaves`` — dead-leaves content from a held-out seed;
+  * ``legacy`` — the round-1 band-limited synthetic family (where Lanczos
+    is near-optimal; the neural model must at least not LOSE here).
+
+Each clip is degraded by the framework's own adaptive block downsampling
+(+ optional codec round trip), restored through the progressive loop with
+Lanczos vs the neural upsampler, and scored with the metrics-grade
+PSNR/SSIM used by the pipeline.
+
+CLI: ``python -m elvis_tpu.train.evaluate --ckpt checkpoints/srnet``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+__all__ = ["holdout_clips", "sr_holdout_eval", "main"]
+
+_HOPPER = os.path.join(
+    "matplotlib", "mpl-data", "sample_data", "grace_hopper.jpg"
+)
+
+
+def _photo_clip(frames: int, size: int) -> Optional[np.ndarray]:
+    """Shifted crops of the bundled photo -> a small pan 'clip'."""
+    try:
+        import matplotlib
+        from PIL import Image
+
+        path = os.path.join(os.path.dirname(matplotlib.__file__), "mpl-data",
+                            "sample_data", "grace_hopper.jpg")
+        img = np.asarray(Image.open(path).convert("RGB"), dtype=np.float32)
+    except Exception:
+        return None
+    h, w = img.shape[:2]
+    if h < size + frames * 4 or w < size:
+        return None
+    return np.stack([img[4 * t : 4 * t + size, :size] for t in range(frames)])
+
+
+def holdout_clips(frames: int = 4, size: int = 256) -> Dict[str, np.ndarray]:
+    """Evaluation families, all float32 [0,255] (N, size, size, 3)."""
+    import jax
+
+    from elvis_tpu.train.data import dead_leaves, synthetic_frames
+
+    clips: Dict[str, np.ndarray] = {}
+    photo = _photo_clip(frames, size)
+    if photo is not None:
+        clips["photo"] = photo
+    clips["leaves"] = np.asarray(
+        dead_leaves(jax.random.PRNGKey(9999), frames, size, size)
+    )
+    clips["legacy"] = np.asarray(
+        synthetic_frames(jax.random.PRNGKey(9998), frames, size, size)
+    )
+    return clips
+
+
+def sr_holdout_eval(
+    upsample_fn: Callable,
+    *,
+    frames: int = 4,
+    size: int = 256,
+    block_size: int = 8,
+    with_codec_noise: bool = True,
+    max_level: int = 3,
+) -> Dict[str, Dict[str, float]]:
+    """Compare progressive restore with ``upsample_fn`` vs Lanczos.
+
+    Returns {family: {psnr_lanczos, psnr_neural, dpsnr, ssim_lanczos,
+    ssim_neural, dssim}} (+ '_codec'-suffixed families when enabled).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from elvis_tpu.degrade import adaptive_downsample
+    from elvis_tpu.metrics import masked_psnr, masked_ssim
+    from elvis_tpu.restore.progressive import lanczos_upsample_2x, progressive_restore
+    from elvis_tpu.train.data import codec_noise
+
+    results: Dict[str, Dict[str, float]] = {}
+
+    @jax.jit
+    def run_pair(clean, degraded, levels):
+        lz = progressive_restore(degraded, levels, block_size,
+                                 upsample_fn=lanczos_upsample_2x, max_level=max_level)
+        nn = progressive_restore(degraded, levels, block_size,
+                                 upsample_fn=upsample_fn, max_level=max_level)
+        return (
+            masked_psnr(clean, lz).mean(), masked_psnr(clean, nn).mean(),
+            masked_ssim(clean, lz).mean(), masked_ssim(clean, nn).mean(),
+        )
+
+    for family, clip in holdout_clips(frames, size).items():
+        clean = jnp.asarray(clip, dtype=jnp.float32)
+        by = size // block_size
+        scores = jax.random.uniform(jax.random.PRNGKey(7), (frames, by, by))
+        degraded, levels = jax.jit(lambda a, s: adaptive_downsample(a, s, block_size))(
+            clean, scores
+        )
+        variants = {family: degraded}
+        if with_codec_noise:
+            # fixed-key codec artifacts (bernoulli(0.7) per frame -> most
+            # frames carry quantization noise, like pipeline stage 9 inputs)
+            variants[family + "_codec"] = codec_noise(
+                jax.random.PRNGKey(3), degraded, block_size
+            )
+        for name, deg in variants.items():
+            p_lz, p_nn, s_lz, s_nn = (float(v) for v in run_pair(clean, deg, levels))
+            results[name] = {
+                "psnr_lanczos": round(p_lz, 3),
+                "psnr_neural": round(p_nn, 3),
+                "dpsnr": round(p_nn - p_lz, 3),
+                "ssim_lanczos": round(s_lz, 4),
+                "ssim_neural": round(s_nn, 4),
+                "dssim": round(s_nn - s_lz, 4),
+            }
+    return results
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="held-out SR eval vs Lanczos")
+    p.add_argument("--ckpt", default="checkpoints/srnet")
+    p.add_argument("--model", choices=["srnet", "srnet_compact"], default=None,
+                   help="defaults from the ckpt dir name")
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--frames", type=int, default=4)
+    p.add_argument("--json", dest="as_json", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from elvis_tpu.models import SRNet, SRNetCompact, srnet_upsample_fn
+    from elvis_tpu.models.io import maybe_load_params
+
+    name = args.model or ("srnet_compact" if "compact" in args.ckpt else "srnet")
+    model = SRNetCompact() if name == "srnet_compact" else SRNet()
+    params = maybe_load_params(model, args.ckpt, jnp.zeros((1, 32, 32, 3)))
+    res = sr_holdout_eval(lambda f: model.apply(params, f),
+                          frames=args.frames, size=args.size)
+    if args.as_json:
+        print(json.dumps(res, indent=2))
+    else:
+        for fam, r in res.items():
+            print(f"{fam:14s} PSNR {r['psnr_lanczos']:6.2f} -> {r['psnr_neural']:6.2f} "
+                  f"({r['dpsnr']:+.3f} dB)   SSIM {r['ssim_lanczos']:.4f} -> "
+                  f"{r['ssim_neural']:.4f} ({r['dssim']:+.4f})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
