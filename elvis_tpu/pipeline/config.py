@@ -95,10 +95,18 @@ class ElvisConfig:
 
     # --- framework extensions (TPU-native knobs) -------------------------
     codec: str = "nvc"                 # 'nvc' | 'x265' | 'kvazaar' | 'svtav1'
+    quality_preset: str = "medium"     # QUALITY_PRESETS tier for kvazaar/svtav1
     saliency_backend: str = "motion_contrast"
-    inpaint_backends: List[str] = field(default_factory=lambda: ["diffusion", "temporal"])
-    sr_backends: List[str] = field(default_factory=lambda: ["progressive_lanczos"])
-    deblur_backends: List[str] = field(default_factory=lambda: ["unsharp"])
+    # Backend lists drive the restoration approach rows (restore.backends):
+    # the first entry fills the reference's label for that slot, extra
+    # entries add extra comparison rows. Neural names auto-load shipped
+    # checkpoints and fall back to the slot's classical restorer.
+    inpaint_backends: List[str] = field(
+        default_factory=lambda: ["diffusion", "temporal", "neural"]
+    )
+    sr_backends: List[str] = field(default_factory=lambda: ["srnet"])
+    deblur_backends: List[str] = field(default_factory=lambda: ["deblur_net"])
+    auto_load_checkpoints: bool = True
     max_frames: Optional[int] = None
     framerate_override: Optional[float] = None
     roi_qp_range: int = 15

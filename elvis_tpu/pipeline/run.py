@@ -42,11 +42,11 @@ import jax
 import jax.numpy as jnp
 
 from elvis_tpu.codec import (
-    NvcCodec,
     calculate_target_bitrate,
     save_removal_masks_npz,
     save_strength_maps_npz,
 )
+from elvis_tpu.codec.dispatch import make_pipeline_codec
 from elvis_tpu.degrade import (
     adaptive_blur,
     adaptive_downsample,
@@ -59,13 +59,14 @@ from elvis_tpu.pipeline.cache import StageCache
 from elvis_tpu.pipeline.config import ElvisConfig
 from elvis_tpu.pipeline.io import load_clip, save_frames_png
 from elvis_tpu.restore import (
-    get_restorer,
-    progressive_restore,
     restore_blur_unsharp,
     restore_downsample_lanczos,
-    restore_removal_diffusion,
-    restore_removal_temporal,
     temporal_blend,
+)
+from elvis_tpu.restore.backends import (
+    resolve_deblur_backend,
+    resolve_inpaint_backend,
+    resolve_sr_backend,
 )
 from elvis_tpu.scoring import (
     get_saliency_fn,
@@ -89,23 +90,6 @@ class APPROACHES:
     PRESLEY_INSTANTIR = "PRESLEY InstantIR"
     PRESLEY_LANCZOS = "PRESLEY Lanczos"
     PRESLEY_UNSHARP = "PRESLEY Unsharp"
-
-
-def _load_srnet_upsampler(config: ElvisConfig):
-    """SRNet 2x when params exist; Lanczos-4 2x otherwise (the hermetic
-    default principle — the loop itself is the same either way)."""
-    if config.srnet_params_path and os.path.exists(config.srnet_params_path):
-        import orbax.checkpoint as ocp
-
-        from elvis_tpu.models import SRNet, srnet_upsample_fn
-
-        model = SRNet()
-        template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
-        params = ocp.StandardCheckpointer().restore(
-            os.path.abspath(config.srnet_params_path), template
-        )
-        return srnet_upsample_fn(model, params)
-    return None
 
 
 def run_elvis(config: ElvisConfig) -> Dict:
@@ -168,16 +152,17 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
             spec = PartitionSpec("data", *([None] * (x.ndim - 1)))
             return jax.device_put(x, NamedSharding(_mesh, spec))
 
-    codec = NvcCodec()
+    # Codec dispatch (elvis_tpu.codec.dispatch): the built-in NVC codec or
+    # the external x265/kvazaar/SVT-AV1 wrappers, one interface.
+    codec = make_pipeline_codec(
+        config.codec, os.path.join(experiment_dir, "codec"), width, height,
+        preset=config.encode_preset, pix_fmt=config.encode_pix_fmt,
+        quality=config.quality_preset,
+    )
     # ~1-second keyframe interval like the reference's `-g framerate`
     # (elvis.py:1298) — bounds seek/error propagation.
     gop = max(int(round(framerate)), 1)
-    if config.codec != "nvc":
-        raise NotImplementedError(
-            f"codec {config.codec!r}: external encoders are available through "
-            "elvis_tpu.codec.external when their binaries exist; the pipeline "
-            "driver currently runs the built-in nvc codec"
-        )
+    enc_kw = dict(target_bitrate=target_bitrate, framerate=framerate, gop=gop)
 
     # --- stage 1: removability scoring (elvis.py:4347-4362) ---------------
     t0 = time.time()
@@ -238,10 +223,8 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
 
     # --- stage 2: baseline encode (elvis.py:4364-4381) ---------------------
     t0 = time.time()
-    streams["baseline"] = codec.encode(
-        frames_np, target_bitrate=target_bitrate, framerate=framerate, gop=gop
-    )
-    decoded[APPROACHES.BASELINE], _ = codec.decode(streams["baseline"])
+    streams["baseline"] = codec.encode(frames_np, **enc_kw)
+    decoded[APPROACHES.BASELINE] = codec.decode(streams["baseline"])
     dt = time.time() - t0
     execution_times["Baseline Encoding"] = dt
     approach_times[APPROACHES.BASELINE] += dt
@@ -253,28 +236,23 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
     )
     masks_npz = os.path.join(experiment_dir, f"shrink_masks_{b}.npz")
     save_removal_masks_npz(np.asarray(removal_mask), masks_npz)
-    streams["shrunk"] = codec.encode(
-        np.asarray(shrunk), target_bitrate=target_bitrate, framerate=framerate, gop=gop
-    )
-    shrunk_decoded, _ = codec.decode(streams["shrunk"])
+    streams["shrunk"] = codec.encode(np.asarray(shrunk), **enc_kw)
+    shrunk_decoded = codec.decode(streams["shrunk"])
     dt = time.time() - t0
     execution_times["ELVIS Shrinking"] = dt
     approach_times[APPROACHES.ELVIS] += dt
 
     # --- stage 4: ROI encode (elvis.py:4439-4450) ---------------------------
+    # Per codec: NVC maps importance to its native per-block delta-QP
+    # (kvazaar formula, utils.py:1048); x265 writes a qpfile from the
+    # removability scores (elvis.py:2013-2139); kvazaar/SVT-AV1 write
+    # their binary/text ROI files from importance (utils.py:1026/1056).
     t0 = time.time()
-    # importance [0,1] -> delta-QP via the kvazaar ROI formula
-    # (utils.py:1048: dqp = (1-imp)*2r - r; imp=1 foreground -> -r, better
-    # quality), recentred to zero mean per frame so the map is a pure bit
-    # *redistribution* under two-pass rate control.
-    dqp_f = (1.0 - importance) * 2.0 * config.roi_qp_range - config.roi_qp_range
-    dqp_f = dqp_f - dqp_f.mean(axis=(1, 2), keepdims=True)
-    dqp = np.clip(np.round(dqp_f), -14, 14).astype(np.int8)
-    streams["roi"] = codec.encode(
-        frames_np, target_bitrate=target_bitrate, framerate=framerate,
-        roi_delta_qp=dqp, gop=gop,
+    streams["roi"] = codec.encode_roi(
+        frames_np, removability=np.asarray(scores), importance=importance,
+        block_size=b, roi_qp_range=config.roi_qp_range, **enc_kw,
     )
-    decoded[APPROACHES.PRESLEY_QP], _ = codec.decode(streams["roi"])
+    decoded[APPROACHES.PRESLEY_QP] = codec.decode(streams["roi"])
     dt = time.time() - t0
     execution_times["Adaptive QP Encoding"] = dt
     approach_times[APPROACHES.PRESLEY_QP] += dt
@@ -282,14 +260,12 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
     # --- stage 5: downsample branch (elvis.py:4462-4486) --------------------
     t0 = time.time()
     down_frames, down_levels = adaptive_downsample(frames, scores, b)
-    streams["downsampled"] = codec.encode(
-        np.asarray(down_frames), target_bitrate=target_bitrate, framerate=framerate, gop=gop
-    )
+    streams["downsampled"] = codec.encode(np.asarray(down_frames), **enc_kw)
     down_maps_path = os.path.join(maps_dir, "downsample_maps.npz")
     sidecar_sizes["downsample"] = save_strength_maps_npz(
         np.asarray(down_levels), down_maps_path
     )
-    down_decoded, _ = codec.decode(streams["downsampled"])
+    down_decoded = codec.decode(streams["downsampled"])
     dt = time.time() - t0
     execution_times["Downsampled Encoding"] = dt
     approach_times[APPROACHES.PRESLEY_REALESRGAN] += dt
@@ -299,14 +275,12 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
     blur_frames, blur_levels = adaptive_blur(
         frames, scores, b, config.gaussian_max_rounds
     )
-    streams["gaussian"] = codec.encode(
-        np.asarray(blur_frames), target_bitrate=target_bitrate, framerate=framerate, gop=gop
-    )
+    streams["gaussian"] = codec.encode(np.asarray(blur_frames), **enc_kw)
     blur_maps_path = os.path.join(maps_dir, "gaussian_maps.npz")
     sidecar_sizes["gaussian"] = save_strength_maps_npz(
         np.asarray(blur_levels), blur_maps_path
     )
-    blur_decoded, _ = codec.decode(streams["gaussian"])
+    blur_decoded = codec.decode(streams["gaussian"])
     dt = time.time() - t0
     execution_times["Gaussian Encoding"] = dt
     approach_times[APPROACHES.PRESLEY_INSTANTIR] += dt
@@ -319,15 +293,12 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
 
         t0 = time.time()
         damp_frames, damp_levels = dct_dampen(frames, scores, b)
-        streams["dampened"] = codec.encode(
-            np.asarray(damp_frames), target_bitrate=target_bitrate,
-            framerate=framerate, gop=gop,
-        )
+        streams["dampened"] = codec.encode(np.asarray(damp_frames), **enc_kw)
         damp_maps_path = os.path.join(maps_dir, "dampen_maps.npz")
         sidecar_sizes["dampen"] = save_strength_maps_npz(
             np.asarray(damp_levels), damp_maps_path
         )
-        damp_decoded, _ = codec.decode(streams["dampened"])
+        damp_decoded = codec.decode(streams["dampened"])
         damp_levels_dec = jnp.asarray(
             np.load(damp_maps_path)["strength_maps"].astype(np.int32)
         )
@@ -343,97 +314,72 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
     stretched = stretch_frames(jnp.asarray(shrunk_decoded), removal_mask, b)
     execution_times["ELVIS Stretching"] = time.time() - t0
 
-    # --- stage 8: inpainting x3 (elvis.py:4601-4661) -------------------------
-    t0 = time.time()
-    decoded[APPROACHES.ELVIS_CV2] = np.asarray(
-        restore_removal_diffusion(shard(stretched), shard(removal_mask), b)
-    )
-    dt = time.time() - t0
-    execution_times["CV2 Inpainting"] = dt
-    approach_times[APPROACHES.ELVIS_CV2] += dt
+    # --- stages 8-10: restoration via the config-driven backend registry ----
+    # (elvis.py:4601-4794; backend selection parity with the reference's
+    # model-name config switches at elvis.py:2384-2493.) The first entry of
+    # each *_backends list fills the reference's approach label for that
+    # slot; extra entries add extra comparison rows. ``backend_provenance``
+    # records what actually ran (trained checkpoint vs classical fallback).
+    backend_provenance: Dict[str, str] = {}
+    # label -> encoded branch whose bitrate the row inherits (stage 11)
+    row_branch: Dict[str, str] = {}
 
-    t0 = time.time()
-    decoded[APPROACHES.ELVIS_PROP] = np.asarray(
-        restore_removal_temporal(stretched, removal_mask, b)
-    )
-    dt = time.time() - t0
-    execution_times["ProPainter Inpainting"] = dt
-    approach_times[APPROACHES.ELVIS_PROP] += dt
-
-    t0 = time.time()
-    seeded = jnp.asarray(decoded[APPROACHES.ELVIS_PROP]).astype(jnp.float32)
-    if config.inpaint_params_path and os.path.exists(config.inpaint_params_path):
-        import orbax.checkpoint as ocp
-
-        from elvis_tpu.models import InpaintNet
-
-        net = InpaintNet()
-        template = jax.jit(lambda r, x, m: net.init(r, x, m, b))(
-            jax.random.PRNGKey(0), seeded[:1], removal_mask[:1]
-        )
-        params = ocp.StandardCheckpointer().restore(
-            os.path.abspath(config.inpaint_params_path), template
-        )
-        decoded[APPROACHES.ELVIS_E2FGVI] = np.asarray(
-            net.apply(params, seeded, removal_mask, b)
-        )
-    else:
-        # hermetic default: temporal propagation + PDE polish of residue
-        decoded[APPROACHES.ELVIS_E2FGVI] = np.asarray(
-            restore_removal_diffusion(
-                jnp.asarray(decoded[APPROACHES.ELVIS_PROP]), removal_mask, b, iters=40
-            )
-        )
-    dt = time.time() - t0
-    execution_times["E2FGVI Inpainting"] = dt
-    approach_times[APPROACHES.ELVIS_E2FGVI] += dt
+    # --- stage 8: inpainting (elvis.py:4601-4661) ----------------------------
+    _inpaint_labels = {
+        "diffusion": (APPROACHES.ELVIS_CV2, "CV2 Inpainting"),
+        "temporal": (APPROACHES.ELVIS_PROP, "ProPainter Inpainting"),
+        "neural": (APPROACHES.ELVIS_E2FGVI, "E2FGVI Inpainting"),
+    }
+    for name in config.inpaint_backends:
+        label, timer = _inpaint_labels.get(name, (f"ELVIS {name}", f"{name} Inpainting"))
+        fn, prov = resolve_inpaint_backend(name, config)
+        backend_provenance[label] = prov
+        row_branch[label] = "shrunk"
+        t0 = time.time()
+        if name == "diffusion":  # per-frame op: frame-axis shardable
+            out = fn(shard(stretched), shard(removal_mask), b)
+        else:
+            out = fn(stretched, removal_mask, b)
+        decoded[label] = np.asarray(out)
+        dt = time.time() - t0
+        execution_times[timer] = dt
+        approach_times[label] += dt
 
     # --- stage 9: progressive SR restore (elvis.py:4695-4722) ----------------
-    t0 = time.time()
     levels_dec = jnp.asarray(np.load(down_maps_path)["strength_maps"].astype(np.int32))
-    neural_up = _load_srnet_upsampler(config)
-    sr_out = progressive_restore(
-        shard(jnp.asarray(down_decoded)), shard(levels_dec), b,
-        **({"upsample_fn": neural_up} if neural_up else {}),
-    )
-    if config.temporal_blend > 0:
-        sr_out = temporal_blend(sr_out, config.temporal_blend)
-    decoded[APPROACHES.PRESLEY_REALESRGAN] = np.asarray(sr_out)
-    dt = time.time() - t0
-    execution_times["RealESRGAN Restoration"] = dt
-    approach_times[APPROACHES.PRESLEY_REALESRGAN] += dt
+    for i, name in enumerate(config.sr_backends):
+        label = APPROACHES.PRESLEY_REALESRGAN if i == 0 else f"PRESLEY SR {name}"
+        timer = "RealESRGAN Restoration" if i == 0 else f"SR {name} Restoration"
+        fn, prov = resolve_sr_backend(name, config)
+        backend_provenance[label] = prov
+        row_branch[label] = "downsampled"
+        t0 = time.time()
+        sr_out = fn(shard(jnp.asarray(down_decoded)), shard(levels_dec), b)
+        if config.temporal_blend > 0:
+            sr_out = temporal_blend(sr_out, config.temporal_blend)
+        decoded[label] = np.asarray(sr_out)
+        dt = time.time() - t0
+        execution_times[timer] = dt
+        approach_times[label] += dt
 
     # --- stage 10: deblur restore (elvis.py:4755-4794) ------------------------
-    t0 = time.time()
     blur_levels_dec = jnp.asarray(
         np.load(blur_maps_path)["strength_maps"].astype(np.int32)
     )
-    if config.deblur_params_path and os.path.exists(config.deblur_params_path):
-        import orbax.checkpoint as ocp
-
-        from elvis_tpu.models import DeblurUNet
-
-        net = DeblurUNet()
-        template = jax.jit(lambda r, x, m: net.init(r, x, m, b))(
-            jax.random.PRNGKey(0), jnp.zeros((1, height, width, 3)), blur_levels_dec[:1]
-        )
-        params = ocp.StandardCheckpointer().restore(
-            os.path.abspath(config.deblur_params_path), template
-        )
-        deblurred = net.apply(
-            params, jnp.asarray(blur_decoded).astype(jnp.float32), blur_levels_dec, b
-        )
-    else:
-        deblurred = restore_blur_unsharp(
-            shard(jnp.asarray(blur_decoded)), shard(blur_levels_dec), b,
-            config.gaussian_max_rounds,
-        )
-    if config.temporal_blend > 0:
-        deblurred = temporal_blend(deblurred, config.temporal_blend)
-    decoded[APPROACHES.PRESLEY_INSTANTIR] = np.asarray(deblurred)
-    dt = time.time() - t0
-    execution_times["InstantIR Restoration"] = dt
-    approach_times[APPROACHES.PRESLEY_INSTANTIR] += dt
+    for i, name in enumerate(config.deblur_backends):
+        label = APPROACHES.PRESLEY_INSTANTIR if i == 0 else f"PRESLEY Deblur {name}"
+        timer = "InstantIR Restoration" if i == 0 else f"Deblur {name} Restoration"
+        fn, prov = resolve_deblur_backend(name, config)
+        backend_provenance[label] = prov
+        row_branch[label] = "gaussian"
+        t0 = time.time()
+        deblurred = fn(shard(jnp.asarray(blur_decoded)), shard(blur_levels_dec), b)
+        if config.temporal_blend > 0:
+            deblurred = temporal_blend(deblurred, config.temporal_blend)
+        decoded[label] = np.asarray(deblurred)
+        dt = time.time() - t0
+        execution_times[timer] = dt
+        approach_times[label] += dt
 
     # --- stage 11: bitrate accounting (elvis.py:4844-4854) --------------------
     video_sizes = {
@@ -448,8 +394,13 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
             len(streams["dampened"]) + sidecar_sizes["dampen"]
         )
     bitrates = {k: size * 8 / duration for k, size in video_sizes.items()}
-    for label in (APPROACHES.ELVIS_CV2, APPROACHES.ELVIS_PROP, APPROACHES.ELVIS_E2FGVI):
-        bitrates[label] = bitrates[APPROACHES.ELVIS]
+    _branch_sizes = {
+        "shrunk": video_sizes[APPROACHES.ELVIS],
+        "downsampled": video_sizes[APPROACHES.PRESLEY_REALESRGAN],
+        "gaussian": video_sizes[APPROACHES.PRESLEY_INSTANTIR],
+    }
+    for label, branch in row_branch.items():
+        bitrates[label] = _branch_sizes[branch] * 8 / duration
 
     # --- stage 12: classical benchmarks (elvis.py:4880 -> 870-965) ------------
     if config.generate_opencv_benchmarks:
@@ -498,6 +449,8 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
             "target_bitrate": target_bitrate,
             "experiment_dir": experiment_dir,
             "quality_factor": config.quality_factor,
+            "codec": codec.name,
+            "backends": backend_provenance,
         },
     }
     results_json_path = os.path.join(experiment_dir, "analysis_results.json")

@@ -1,0 +1,225 @@
+"""Config-driven restoration backend resolution + checkpoint auto-load.
+
+The reference selects restoration models via config (model-name switches
+at elvis.py:2384-2493, backend picks throughout presley.py); this module
+is that selector for the in-framework slots. ``run_elvis`` maps the
+``sr_backends`` / ``deblur_backends`` / ``inpaint_backends`` config lists
+through ``resolve_*`` so config alone switches implementations, and
+shipped checkpoints under ``checkpoints/`` load by default (the reference
+auto-downloads its pretrained forks; here auto-load is the zero-egress
+counterpart).
+
+Every resolved backend has the uniform restorer signature
+``fn(frames, maps, block_size) -> frames`` and a graceful fallback: a
+missing checkpoint degrades to the slot's classical restorer (never a
+crash, never silent garbage).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "resolve_sr_backend",
+    "resolve_deblur_backend",
+    "resolve_inpaint_backend",
+    "default_params_path",
+]
+
+BackendFn = Callable[[jnp.ndarray, jnp.ndarray, int], jnp.ndarray]
+
+
+def default_params_path(name: str, configured: Optional[str], auto: bool) -> Optional[str]:
+    """configured path wins; else the shipped ``checkpoints/<name>`` when
+    auto-load is on and the checkpoint exists."""
+    if configured:
+        return configured if os.path.isdir(configured) else None
+    if not auto:
+        return None
+    from elvis_tpu.models.io import default_checkpoint_dir
+
+    path = os.path.join(default_checkpoint_dir(), name)
+    return path if os.path.isdir(path) else None
+
+
+def _srnet_upsampler(config) -> Tuple[Optional[Callable], str]:
+    """(2x upsample_fn or None, provenance string). None => use Lanczos
+    (mathematically identical to a zero-init SRNet, without the FLOPs)."""
+    from elvis_tpu.models import SRNet, SRNetCompact, srnet_upsample_fn
+    from elvis_tpu.models.io import load_params
+
+    auto = getattr(config, "auto_load_checkpoints", True)
+    for name, cls in (("srnet", SRNet), ("srnet_compact", SRNetCompact)):
+        path = default_params_path(name, config.srnet_params_path, auto)
+        if path:
+            model = cls()
+            params = load_params(model, path, jnp.zeros((1, 16, 16, 3)))
+            return srnet_upsample_fn(model, params), f"{name}:{path}"
+    return None, "lanczos (no SR checkpoint)"
+
+
+def resolve_sr_backend(name: str, config) -> Tuple[BackendFn, str]:
+    """Downsample-restoration backends: 'srnet' (progressive neural,
+    falls back to Lanczos without weights), 'srnet_compact',
+    'progressive_lanczos', 'lanczos' (per-block), 'hybrid' (classical +
+    alpha*neural polish, utils.py:1575-1601), 'level_seq'
+    (presley.py:1220-1275), 'naive_sr' (map-blind, utils.py:1428)."""
+    from elvis_tpu.restore.hybrid import blended_restoration
+    from elvis_tpu.restore.lanczos import restore_downsample_lanczos
+    from elvis_tpu.restore.level_seq import level_sequential_restore, naive_sr_restore
+    from elvis_tpu.restore.progressive import lanczos_upsample_2x, progressive_restore
+
+    if name in ("progressive_lanczos",):
+        return (
+            lambda f, m, b: progressive_restore(f, m, b, upsample_fn=lanczos_upsample_2x),
+            "progressive_lanczos",
+        )
+    if name == "lanczos":
+        return restore_downsample_lanczos, "lanczos"
+    if name in ("srnet", "srnet_compact", "progressive_neural", "realesrgan"):
+        up, prov = _srnet_upsampler(config)
+        if up is None:
+            return (
+                lambda f, m, b: progressive_restore(f, m, b, upsample_fn=lanczos_upsample_2x),
+                prov,
+            )
+        return (lambda f, m, b: progressive_restore(f, m, b, upsample_fn=up),
+                f"progressive_neural[{prov}]")
+    if name == "hybrid":
+        # reference optimum: classical + 10% strength-weighted neural polish
+        # (+5.71% SSIM for downsample, DEGRADATION_ABLATION_REPORT.tex:315-340)
+        up, prov = _srnet_upsampler(config)
+        up = up or lanczos_upsample_2x
+
+        def hybrid(f, m, b):
+            classical = restore_downsample_lanczos(f, m, b)
+            neural = progressive_restore(f, m, b, upsample_fn=up)
+            return blended_restoration(classical, neural, m, b, alpha=0.1)
+
+        return hybrid, f"hybrid[lanczos + 0.1*{prov}]"
+    if name == "level_seq":
+        up, prov = _srnet_upsampler(config)
+        up = up or lanczos_upsample_2x
+
+        def per_level(frames, lvl):
+            from elvis_tpu.ops.resize import resize
+
+            h, w = frames.shape[-3], frames.shape[-2]
+            small = resize(frames.astype(jnp.float32), (h // 2**lvl, w // 2**lvl),
+                           method="area")
+            for _ in range(lvl):
+                small = up(small)
+            return small
+
+        def level_seq(f, m, b):
+            import numpy as np
+
+            max_level = max(int(np.asarray(m).max()), 1)  # host metadata
+            return level_sequential_restore(per_level, f, m, b, max_level)
+
+        return level_seq, f"level_seq[{prov}]"
+    if name == "naive_sr":
+        up, prov = _srnet_upsampler(config)
+        return (lambda f, m, b: naive_sr_restore(f, m, b, upsample_fn=up),
+                f"naive_sr[{prov}]")
+    raise ValueError(f"unknown SR backend {name!r}")
+
+
+def resolve_deblur_backend(name: str, config) -> Tuple[BackendFn, str]:
+    """Blur-restoration backends: 'deblur_net' (trained UNet; falls back
+    to unsharp without weights), 'unsharp' (classical), 'diffusion'
+    (adaptive round-loop DiffusionRestorer, elvis.py:2869-3160 semantics;
+    requires a trained checkpoint), 'naive_diffusion'."""
+    from elvis_tpu.restore.unsharp import restore_blur_unsharp
+
+    max_rounds = config.gaussian_max_rounds
+    auto = getattr(config, "auto_load_checkpoints", True)
+
+    def unsharp(f, m, b):
+        return restore_blur_unsharp(f, m, b, max_rounds)
+
+    if name == "unsharp":
+        return unsharp, "unsharp"
+    if name in ("deblur_net", "neural", "instantir"):
+        path = default_params_path("deblur", config.deblur_params_path, auto)
+        if not path:
+            return unsharp, "unsharp (no deblur checkpoint)"
+        from elvis_tpu.models import DeblurUNet
+        from elvis_tpu.models.io import load_params
+
+        net = DeblurUNet(max_strength=float(max_rounds))
+        params = load_params(
+            net, path, jnp.zeros((1, 16, 16, 3)), jnp.zeros((1, 2, 2), jnp.int32), 8
+        )
+
+        def deblur(f, m, b):
+            return net.apply(params, f.astype(jnp.float32), m, b)
+
+        return deblur, f"deblur_net:{path}"
+    if name == "diffusion":
+        path = default_params_path("diffusion", None, auto)
+        if not path:
+            # an untrained diffusion model hallucinates noise — never a
+            # valid fallback; degrade to the classical restorer instead
+            return unsharp, "unsharp (no diffusion checkpoint)"
+        import orbax.checkpoint as ocp
+
+        from elvis_tpu.models import DiffusionRestorer
+
+        d = DiffusionRestorer()
+        abstract = jax.eval_shape(lambda: d.init(jax.random.PRNGKey(0)))
+        params = ocp.StandardCheckpointer().restore(os.path.abspath(path), abstract)
+
+        def diffusion(f, m, b):
+            return d.restore_adaptive(params, f.astype(jnp.float32), m, b,
+                                      max_rounds=max_rounds)
+
+        return diffusion, f"diffusion:{path}"
+    if name == "naive_diffusion":
+        from elvis_tpu.restore.level_seq import naive_diffusion_restore
+
+        return naive_diffusion_restore, "naive_diffusion"
+    raise ValueError(f"unknown deblur backend {name!r}")
+
+
+def resolve_inpaint_backend(name: str, config) -> Tuple[BackendFn, str]:
+    """Removal-restoration backends: 'diffusion' (PDE fill, the Telea
+    counterpart), 'temporal' (motion propagation, the ProPainter
+    counterpart), 'neural' (InpaintNet over a temporal seed, the E2FGVI
+    counterpart; falls back to propagation + PDE polish without weights)."""
+    from elvis_tpu.restore.inpaint import (
+        restore_removal_diffusion,
+        restore_removal_temporal,
+    )
+
+    auto = getattr(config, "auto_load_checkpoints", True)
+    if name == "diffusion":
+        return restore_removal_diffusion, "pde_diffusion"
+    if name == "temporal":
+        return restore_removal_temporal, "temporal_propagation"
+    if name in ("neural", "inpaint_net", "e2fgvi"):
+        path = default_params_path("inpaint", config.inpaint_params_path, auto)
+        if not path:
+            def fallback(f, m, b):
+                seeded = restore_removal_temporal(f, m, b)
+                return restore_removal_diffusion(jnp.asarray(seeded), m, b, iters=40)
+
+            return fallback, "temporal+pde (no inpaint checkpoint)"
+        from elvis_tpu.models import InpaintNet
+        from elvis_tpu.models.io import load_params
+
+        net = InpaintNet()
+        params = load_params(
+            net, path, jnp.zeros((2, 16, 16, 3)), jnp.zeros((2, 2, 2), jnp.int8), 8
+        )
+
+        def neural(f, m, b):
+            seeded = jnp.asarray(restore_removal_temporal(f, m, b)).astype(jnp.float32)
+            return net.apply(params, seeded, m, b)
+
+        return neural, f"inpaint_net:{path}"
+    raise ValueError(f"unknown inpaint backend {name!r}")

@@ -93,6 +93,25 @@ def motion_contrast_saliency(frames: jnp.ndarray) -> jnp.ndarray:
     return norm01(sal)
 
 
+@register_saliency("neural")
+def neural_saliency(frames: jnp.ndarray) -> jnp.ndarray:
+    """SaliencyNet (the UFO slot, elvis_tpu.models.saliency_net), loading
+    the shipped ``checkpoints/saliency`` when present. Without weights it
+    degrades to the motion-contrast heuristic — an untrained segmenter is
+    not a usable mask source."""
+    import os
+
+    from elvis_tpu.models import SaliencyNet, make_neural_saliency_fn
+    from elvis_tpu.models.io import default_checkpoint_dir, load_params
+
+    path = os.path.join(default_checkpoint_dir(), "saliency")
+    if not os.path.isdir(path):
+        return motion_contrast_saliency(frames)
+    model = SaliencyNet()
+    params = load_params(model, path, jnp.zeros((2, 16, 16, 3)))
+    return make_neural_saliency_fn(model, params)(frames)
+
+
 def saliency_to_block_mask(saliency: jnp.ndarray, block_size: int, threshold: float = 0.5) -> jnp.ndarray:
     """Pixel saliency -> per-block foreground bool (nearest-equivalent of
     the reference's cv2 INTER_NEAREST mask downsize, elvis.py:1191)."""

@@ -33,6 +33,7 @@ def pipeline_results(tmp_path_factory):
     return run_elvis(config), exp_dir
 
 
+@pytest.mark.slow
 class TestRunElvis:
     def test_all_approaches_present(self, pipeline_results):
         results, _ = pipeline_results
@@ -204,3 +205,88 @@ class TestStageCache:
         r_a = cache.get_or_run("s", [a], lambda: {"v": np.asarray([1])})
         r_b = cache.get_or_run("s", [b], lambda: {"v": np.asarray([2])})
         assert r_a["v"][0] == 1 and r_b["v"][0] == 2
+
+
+class TestExternalCodecDispatch:
+    """run_elvis drives x265/kvazaar/SVT-AV1 through the fake-codec shim:
+    the staged argv chains are the reference's (elvis.py:1226-1337,
+    utils.py:465-565) and the results keep the full schema."""
+
+    def _run(self, tmp_path, monkeypatch, codec, **overrides):
+        fake = tmp_path / "fake"
+        monkeypatch.setenv("ELVIS_TPU_FAKE_CODECS", str(fake))
+        config = ElvisConfig(
+            reference_video="synthetic://moving?frames=4&fps=24",
+            width=64, height=48, block_size=8, codec=codec,
+            experiment_dir=str(tmp_path / "exp"),
+            enable_fvmd=False, enable_vmaf=False,
+            generate_opencv_benchmarks=False,
+            target_bitrate_override=100_000,
+            **overrides,
+        )
+        results = run_elvis(config)
+        argv_path = fake / "argv.jsonl"
+        argv = (
+            [json.loads(l) for l in argv_path.read_text().splitlines()]
+            if argv_path.exists()
+            else []  # 'nvc' shells out to nothing
+        )
+        return results, argv
+
+    @pytest.mark.slow
+    def test_x265_two_pass_with_qpfile(self, tmp_path, monkeypatch):
+        results, argv = self._run(tmp_path, monkeypatch, "x265")
+        x265_params = [
+            a[a.index("-x265-params") + 1] for a in argv if "-x265-params" in a
+        ]
+        # 5 encodes (baseline/shrunk/roi/downsampled/gaussian) x 2 passes
+        assert sum("pass=1" in p for p in x265_params) == 5
+        assert sum("pass=2" in p for p in x265_params) == 5
+        roi_p2 = [p for p in x265_params if "qpfile=" in p and "pass=2" in p]
+        assert len(roi_p2) == 1 and "ctu=16" in roi_p2[0]
+        # qpfile itself is byte-real even under the shim
+        qpfiles = [seg.split("qpfile=")[1] for seg in roi_p2]
+        assert os.path.exists(qpfiles[0])
+        first = open(qpfiles[0]).readline().split()
+        assert first[0] == "0" and first[1] == "P" and first[2] == "-1"
+        for label in (APPROACHES.BASELINE, APPROACHES.PRESLEY_QP,
+                      APPROACHES.PRESLEY_REALESRGAN):
+            assert "foreground" in results[label]
+
+    @pytest.mark.slow
+    def test_kvazaar_roi_chain(self, tmp_path, monkeypatch):
+        results, argv = self._run(tmp_path, monkeypatch, "kvazaar")
+        kvz = [a for a in argv if a[0] == "kvazaar"]
+        assert len(kvz) == 5
+        roi = [a for a in kvz if "--roi" in a]
+        assert len(roi) == 1
+        # mkvmerge timestamp fix + ffmpeg copy-mux follow every encode
+        assert sum(a[0] == "mkvmerge" for a in argv) == 5
+        assert results["video_resolution"] == "64x48"
+
+    @pytest.mark.slow
+    def test_svtav1_roi_chain(self, tmp_path, monkeypatch):
+        results, argv = self._run(tmp_path, monkeypatch, "svtav1")
+        svt = [a for a in argv if a[0] == "SvtAv1EncApp"]
+        assert len(svt) == 5
+        roi = [a for a in svt if "--roi-map-file" in a]
+        assert len(roi) == 1
+        assert APPROACHES.PRESLEY_QP in results
+
+    @pytest.mark.slow
+    def test_backend_lists_drive_extra_rows(self, tmp_path, monkeypatch):
+        results, _ = self._run(
+            tmp_path, monkeypatch, "nvc",
+            sr_backends=["srnet", "hybrid", "level_seq"],
+            deblur_backends=["deblur_net", "unsharp"],
+        )
+        assert APPROACHES.PRESLEY_REALESRGAN in results
+        assert "PRESLEY SR hybrid" in results
+        assert "PRESLEY SR level_seq" in results
+        assert "PRESLEY Deblur unsharp" in results
+        prov = results["parameters"]["derived"]["backends"]
+        # shipped deblur checkpoint auto-loads by default
+        assert prov[APPROACHES.PRESLEY_INSTANTIR].startswith("deblur_net:")
+        # hybrid/level_seq rows ride the downsample branch bitrate
+        assert (results["PRESLEY SR hybrid"]["bitrate_mbps"]
+                == results[APPROACHES.PRESLEY_REALESRGAN]["bitrate_mbps"])
