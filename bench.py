@@ -89,6 +89,25 @@ def main() -> int:
     dt = (time.time() - t0) / iters
     fps = n / dt
 
+    # Quality vs the classical baseline on held-out natural content (the
+    # reference's flagship claim shape: trained ESRGAN > Lanczos,
+    # DEGRADATION_ABLATION_REPORT.tex:266-287). Photo family = a real
+    # photograph the training corpus never contained.
+    quality = {}
+    try:
+        from elvis_tpu.train.evaluate import sr_holdout_eval
+
+        res = sr_holdout_eval(
+            upsample, frames=2, size=192, with_codec_noise=False
+        ).get("photo")
+        if res:
+            quality = {
+                "photo_dpsnr_db_vs_lanczos": res["dpsnr"],
+                "photo_dssim_vs_lanczos": res["dssim"],
+            }
+    except Exception:
+        pass  # throughput metric stands alone if eval content is missing
+
     baseline_fps = 0.46  # reference RealESRGAN @720p on 48GB GPU
     print(
         json.dumps(
@@ -97,6 +116,7 @@ def main() -> int:
                 "value": round(fps, 2),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / baseline_fps, 2),
+                **quality,
             }
         )
     )
