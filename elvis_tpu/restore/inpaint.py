@@ -10,12 +10,14 @@ self-contained slots are:
     Telea's fast-marching method (a smooth fill from the hole boundary),
     expressed as a ``lax.scan`` of 4-neighbour averages so the whole clip
     relaxes in one fused device loop.
-  * ``temporal`` — zero-motion temporal propagation + diffusion fallback:
-    each removed block is filled from the nearest frame where that block
-    survives (the core move of flow-guided video inpainting, minus flow),
-    then residual holes relax. Removed blocks rarely coincide across
-    frames (scores are temporally smoothed but removal is per-frame
-    argsort), which is exactly why the reference uses *video* inpainting.
+  * ``temporal`` — MOTION-COMPENSATED temporal propagation + diffusion
+    fallback: each removed block is filled from the nearest frame where
+    its content survives, warped along accumulated block motion (the
+    flow-guidance move of ProPainter, reference elvis.py:1458, with
+    block-matching standing in for RAFT flow), then residual holes relax.
+    Removed blocks rarely coincide across frames (scores are temporally
+    smoothed but removal is per-frame argsort), which is exactly why the
+    reference uses *video* inpainting.
   * a neural slot (elvis_tpu.models.inpaint_net) for the learned path.
 """
 
@@ -79,46 +81,133 @@ def restore_removal_temporal(
     block_size: int,
     iters: int = 60,
     window: int = 8,
+    motion_radius: int = 4,
 ) -> jnp.ndarray:
     """Fill each removed block from the temporally nearest frame (within
-    +-``window``) where the co-located block is present, then diffuse
-    residual holes.
+    +-``window``) where its CONTENT survives — warped along accumulated
+    block motion — then diffuse residual holes.
 
-    The search is windowed (O(N*window) rather than the O(N^2) all-pairs
-    distance matrix): removal decisions are per-frame argsorts of
-    temporally-smoothed scores, so a co-located survivor is almost always
-    within a few frames; blocks unavailable in the whole window fall back
-    to PDE diffusion like never-available ones.
+    Flow guidance, block-matching edition (ProPainter's core move,
+    reference elvis.py:1458): consecutive-frame block motion is estimated
+    once (``ops.motion.block_motion``; content at (t, p) came from
+    (t-1, p - mv[t])) and accumulated, so the displacement between target
+    frame t and source frame s is ``cum[t] - cum[s]`` per block. The
+    candidate source block is the warped one, its cleanliness is checked
+    at the warped location, and the fill gathers warped pixels. On a
+    camera pan this reads the SAME CONTENT from a neighbour frame where
+    the zero-motion variant would read content offset by the pan.
+
+    ``motion_radius=0`` disables compensation (the zero-motion variant,
+    kept as the cheap path and as the ablation baseline). The search is
+    windowed (O(N*window)); blocks with no clean warped source in the
+    window fall back to PDE diffusion.
     """
     n = frames.shape[0]
     removed = removal_mask.astype(bool)  # (N,By,Bx)
+    by, bx = removed.shape[1], removed.shape[2]
 
-    # For each target frame t, scan offsets by increasing |delta| and keep
-    # the first clean source (edge-clamped indices; a clamped duplicate
-    # offset is either the same frame or already considered).
+    zero_cum = jnp.zeros((n, by, bx, 2), jnp.int32)
+    out = _propagate_fill(frames, removed, zero_cum, block_size, window, iters)
+    if motion_radius > 0 and n > 1:
+        from elvis_tpu.ops.color import rgb_to_gray
+        from elvis_tpu.ops.motion import block_motion
+
+        # Two-phase: motion is estimated on the HOLE-FREE zero-motion fill
+        # (estimating on hole-corrupted frames produced spurious vectors
+        # that the cumulative chain then amplified across the clip), then
+        # the fill is redone with warped sources. Static content estimates
+        # exactly zero motion, reproducing the zero-motion result.
+        luma = rgb_to_gray(out.astype(jnp.float32))
+        mv = block_motion(luma[:-1], luma[1:], block_size, motion_radius)
+        # Flow completion (the ProPainter move): a block holed at either
+        # end of a pair was zero-motion-filled with CO-LOCATED content, so
+        # its apparent motion is spuriously zero — exactly at the blocks
+        # that need warping. Replace motion at hole-affected blocks with
+        # the pair's median over clean blocks (exact for global pans).
+        pair_clean = ~removed[:-1] & ~removed[1:]  # (N-1,By,Bx)
+        masked = jnp.where(pair_clean[..., None], mv.astype(jnp.float32), jnp.nan)
+        med = jnp.nan_to_num(jnp.nanmedian(masked, axis=(1, 2), keepdims=True))
+        mv = jnp.where(pair_clean[..., None], mv, jnp.round(med).astype(jnp.int32))
+        mv = jnp.concatenate([jnp.zeros((1, by, bx, 2), jnp.int32), mv], axis=0)
+        # Co-located accumulation: exact for global pans, approximate for
+        # locally smooth object motion.
+        cum = jnp.cumsum(mv, axis=0)  # (N,By,Bx,2) pixels
+        out = _propagate_fill(frames, removed, cum, block_size, window, iters)
+    if jnp.issubdtype(frames.dtype, jnp.integer):
+        out = jnp.clip(jnp.round(out), 0, 255)
+    return out.astype(frames.dtype)
+
+
+def _propagate_fill(
+    frames: jnp.ndarray,
+    removed: jnp.ndarray,
+    cum: jnp.ndarray,
+    block_size: int,
+    window: int,
+    iters: int,
+) -> jnp.ndarray:
+    """One propagation pass: nearest clean (warped) temporal source per
+    removed block, pixel gather along the displacement, PDE fallback.
+    ``cum`` is the per-block cumulative motion (pixels); zeros = the
+    co-located variant."""
+    n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+    by, bx = removed.shape[1], removed.shape[2]
     t_idx = jnp.arange(n)
+    grid_by = jnp.arange(by)[:, None]
+    grid_bx = jnp.arange(bx)[None, :]
+
     best_src = jnp.full(removed.shape, -1, dtype=jnp.int32)
+    best_dy = jnp.zeros(removed.shape, jnp.int32)
+    best_dx = jnp.zeros(removed.shape, jnp.int32)
+    bs = block_size
     for d in range(1, window + 1):
         for delta in (-d, d):
             s_idx = jnp.clip(t_idx + delta, 0, n - 1)  # (N,)
-            clean = ~removed[s_idx]  # (N,By,Bx): source block available
+            # content at (t, p) sits at (s, p - (cum[t] - cum[s]))
+            disp = cum - cum[s_idx]  # (N,By,Bx,2) pixels
+            # The warped read region [p*bs - disp, +bs) straddles up to 4
+            # source blocks when disp is not block-aligned; ALL of them
+            # must be clean and in-frame, else a partial read would pull
+            # removed (black) pixels into the fill.
+            y0 = grid_by * bs - disp[..., 0]
+            x0 = grid_bx * bs - disp[..., 1]
+            qy_lo, qy_hi = y0 // bs, (y0 + bs - 1) // bs
+            qx_lo, qx_hi = x0 // bs, (x0 + bs - 1) // bs
+            inb = (y0 >= 0) & (y0 + bs <= h) & (x0 >= 0) & (x0 + bs <= w)
+
+            def _ok(qy, qx, s_idx=s_idx):
+                qyc = jnp.clip(qy, 0, by - 1)
+                qxc = jnp.clip(qx, 0, bx - 1)
+                return ~removed[s_idx[:, None, None], qyc, qxc]
+
+            clean = (
+                inb
+                & _ok(qy_lo, qx_lo) & _ok(qy_lo, qx_hi)
+                & _ok(qy_hi, qx_lo) & _ok(qy_hi, qx_hi)
+            )
             take = (best_src < 0) & clean & (s_idx != t_idx)[:, None, None]
             best_src = jnp.where(take, s_idx[:, None, None], best_src)
+            best_dy = jnp.where(take, disp[..., 0], best_dy)
+            best_dx = jnp.where(take, disp[..., 1], best_dx)
     never_avail = best_src < 0
     src = jnp.where(never_avail, t_idx[:, None, None], best_src)
 
-    # Gather source pixels per block: expand maps to pixel resolution.
+    # Warped gather at pixel resolution: per removed block, read the
+    # source frame at the displaced location (edge-clamped).
     src_pix = upsample_map(src, block_size)  # (N,H,W)
-    filled = frames[src_pix, jnp.arange(frames.shape[1])[:, None], jnp.arange(frames.shape[2])[None, :], :]
+    dy_pix = upsample_map(best_dy, block_size)
+    dx_pix = upsample_map(best_dx, block_size)
+    yy = jnp.arange(h)[None, :, None]
+    xx = jnp.arange(w)[None, None, :]
+    sy = jnp.clip(yy - dy_pix, 0, h - 1)
+    sx = jnp.clip(xx - dx_pix, 0, w - 1)
+    filled = frames[src_pix, sy, sx, :]
     hole_blocks = removed & ~never_avail
     hole_pix = upsample_map(hole_blocks, block_size)[..., None]
     out = jnp.where(hole_pix, filled, frames)
 
-    # Blocks removed in every frame have no temporal source: diffuse them.
+    # Blocks with no clean warped source in the window: diffuse.
     # (A no-op pass when the residual mask is empty.)
     residual = removed & never_avail
     res_pix = upsample_map(residual, block_size)[..., None]
-    out = _masked_jacobi(out.astype(jnp.float32), res_pix, iters)
-    if jnp.issubdtype(frames.dtype, jnp.integer):
-        out = jnp.clip(jnp.round(out), 0, 255)
-    return out.astype(frames.dtype)
+    return _masked_jacobi(out.astype(jnp.float32), res_pix, iters)

@@ -164,12 +164,17 @@ def train_deblur(steps: int, ckpt_dir: str, lr: float = 2e-4, batch: int = 8, pa
 
 def train_inpaint(steps: int, ckpt_dir: str, lr: float = 2e-4, frames: int = 8, patch: int = 64,
                   log_every: int = 50):
+    """InpaintNet trains on the input it sees at inference: panning
+    natural-statistics clips, holes pre-filled by the motion-compensated
+    temporal propagation (restore.backends 'neural' seeds the net the same
+    way), so the net learns the residual polish over propagation."""
     import jax
     import jax.numpy as jnp
 
     from elvis_tpu.models import InpaintNet
+    from elvis_tpu.restore.inpaint import restore_removal_temporal
     from elvis_tpu.train import Trainer
-    from elvis_tpu.train.data import synthetic_video_batch
+    from elvis_tpu.train.data import natural_video_batch
 
     b = 8
     by = patch // b
@@ -185,15 +190,16 @@ def train_inpaint(steps: int, ckpt_dir: str, lr: float = 2e-4, frames: int = 8, 
     @jax.jit
     def make_batch(rng):
         k1, k2 = jax.random.split(rng)
-        clip = synthetic_video_batch(k1, frames, patch, patch)
+        clip = natural_video_batch(k1, frames, patch, patch)
         mask = (jax.random.uniform(k2, (frames, by, by)) < 0.25).astype(jnp.int8)
         holes = upsample_map(mask, b)[..., None]
         holed = jnp.where(holes.astype(bool), 0.0, clip)
-        return clip, holed, mask
+        seeded = restore_removal_temporal(holed, mask, b)
+        return clip, seeded, mask
 
     def loss_fn(p, data, rng):
-        clean, holed, mask = data
-        pred = model.apply(p, holed, mask, b)
+        clean, seeded, mask = data
+        pred = model.apply(p, seeded, mask, b)
         return jnp.mean((pred - clean) ** 2) / 255.0**2
 
     trainer = Trainer(loss_fn, params, mesh=None, learning_rate=lr, ckpt_dir=ckpt_dir)
@@ -204,6 +210,48 @@ def train_inpaint(steps: int, ckpt_dir: str, lr: float = 2e-4, frames: int = 8, 
         if step % log_every == 0 or step == steps - 1:
             print(f"inpaint step {step}: loss {loss:.6f}")
     trainer.save("inpaint")
+    return trainer
+
+
+def train_diffusion(steps: int, ckpt_dir: str, lr: float = 2e-4, batch: int = 16,
+                    patch: int = 64, max_rounds: int = 10, log_every: int = 50):
+    """Conditional diffusion restorer (the InstantIR slot) on blur pairs:
+    noise-prediction MSE conditioned on the adaptively-blurred frame
+    (models.diffusion; round-loop inference semantics elvis.py:2947-2981).
+    Makes the 'diffusion' deblur backend selectable with real weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from elvis_tpu.degrade import adaptive_blur
+    from elvis_tpu.models import DiffusionRestorer
+    from elvis_tpu.train import Trainer
+    from elvis_tpu.train.data import natural_frames
+
+    b = 8
+    d = DiffusionRestorer()
+    params = jax.jit(lambda r: d.init(r, (1, patch, patch, 3)))(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def make_batch(rng):
+        k1, k2 = jax.random.split(rng)
+        clean = natural_frames(k1, batch, patch, patch)
+        scores = jax.random.uniform(k2, (batch, patch // b, patch // b))
+        degraded, _ = adaptive_blur(clean, scores, b, max_rounds)
+        return clean, degraded
+
+    def loss_fn(p, data, rng):
+        clean, degraded = data
+        return d.loss(p, rng, clean, degraded)
+
+    trainer = Trainer(loss_fn, params, mesh=_mesh(), learning_rate=lr, ckpt_dir=ckpt_dir)
+    rng = jax.random.PRNGKey(1)
+    t0 = time.time()
+    for step in range(steps):
+        rng, k1, k2 = jax.random.split(rng, 3)
+        loss = trainer.step(make_batch(k1), k2)
+        if step % log_every == 0 or step == steps - 1:
+            print(f"diffusion step {step}: loss {loss:.6f} ({time.time()-t0:.0f}s)", flush=True)
+    trainer.save("diffusion")
     return trainer
 
 
@@ -248,6 +296,7 @@ _TRAINERS = {
     "srnet": train_srnet,
     "srnet_compact": train_srnet_compact,
     "deblur": train_deblur,
+    "diffusion": train_diffusion,
     "inpaint": train_inpaint,
     "saliency": train_saliency,
 }

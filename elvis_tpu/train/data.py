@@ -23,6 +23,7 @@ __all__ = [
     "dead_leaves",
     "fractal_noise",
     "natural_frames",
+    "natural_video_batch",
     "codec_noise",
 ]
 
@@ -221,3 +222,21 @@ def synthetic_video_batch(rng, frames: int, height: int, width: int):
         return jnp.roll(jnp.roll(base, s[0], axis=0), s[1], axis=1)
 
     return jax.vmap(shift_frame)(shifts)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def natural_video_batch(rng, frames: int, height: int, width: int, max_pan: int = 3):
+    """A panning clip over natural-statistics content: a wide dead-leaves
+    scene viewed through a drifting window (true camera pan — new content
+    enters at the frame edge, unlike a wraparound roll). The training
+    distribution for motion-aware temporal restorers."""
+    k1, k2 = jax.random.split(rng)
+    pad = max_pan * frames
+    scene = natural_frames(k1, 1, height + 2 * pad, width + 2 * pad)[0]
+    steps = jax.random.randint(k2, (frames, 2), minval=-max_pan, maxval=max_pan + 1)
+    offsets = jnp.clip(jnp.cumsum(steps, axis=0), -pad, pad) + pad
+
+    def crop(off):
+        return jax.lax.dynamic_slice(scene, (off[0], off[1], 0), (height, width, 3))
+
+    return jax.vmap(crop)(offsets)

@@ -189,3 +189,50 @@ class TestHybridAndTiles:
         x = jnp.asarray(tiny_video.astype(np.float32))
         out = feathered_tile_apply(x, lambda t: t, tile=16, halo=4)
         np.testing.assert_allclose(np.asarray(out), tiny_video, atol=1e-3)
+
+
+class TestMotionCompensatedInpaint:
+    """VERDICT #4: flow-guided-lite propagation (block motion warping,
+    reference ProPainter slot elvis.py:1458) must beat co-located
+    propagation on a panning clip."""
+
+    def _pan_clip(self, rng, n=8, h=48, w=64, pan=3):
+        from elvis_tpu.ops.filter import gaussian_blur
+
+        wide = (rng.random((h, w + pan * n, 3)) * 255).astype(np.float32)
+        wide = np.asarray(gaussian_blur(jnp.asarray(wide), 5, 1.2))  # band-limit
+        clip = np.stack([wide[:, pan * t : pan * t + w] for t in range(n)])
+        return np.clip(clip, 0, 255).astype(np.uint8)
+
+    def test_mc_beats_colocated_on_pan(self, rng):
+        from elvis_tpu.core.blocks import upsample_map
+
+        clip = self._pan_clip(rng)
+        n, h, w = clip.shape[:3]
+        by, bx = h // 8, w // 8
+        mask = (rng.random((n, by, bx)) < 0.2).astype(np.int8)
+        holes = np.asarray(upsample_map(jnp.asarray(mask), 8))[..., None].astype(bool)
+        holed = jnp.asarray(np.where(holes, 0, clip))
+        m = jnp.asarray(mask)
+
+        mc = restore_removal_temporal(holed, m, 8, motion_radius=4)
+        zm = restore_removal_temporal(holed, m, 8, motion_radius=0)
+
+        def hole_mse(out):
+            d = (np.asarray(out, np.float64) - clip.astype(np.float64)) ** 2
+            return float(d[holes[..., 0]].mean())
+
+        assert hole_mse(mc) < 0.5 * hole_mse(zm), (hole_mse(mc), hole_mse(zm))
+
+    def test_mc_noop_on_static_clip(self, tiny_video, rng):
+        """Static content: estimated motion is zero, so MC == co-located."""
+        from elvis_tpu.core.blocks import upsample_map
+
+        clip = np.broadcast_to(tiny_video[:1], tiny_video.shape).copy()
+        mask = (rng.random((5, 6, 8)) < 0.25).astype(np.int8)
+        holes = np.asarray(upsample_map(jnp.asarray(mask), 8))[..., None].astype(bool)
+        holed = jnp.asarray(np.where(holes, 0, clip))
+        m = jnp.asarray(mask)
+        mc = np.asarray(restore_removal_temporal(holed, m, 8, motion_radius=4))
+        zm = np.asarray(restore_removal_temporal(holed, m, 8, motion_radius=0))
+        np.testing.assert_array_equal(mc, zm)
