@@ -58,31 +58,43 @@ def _exchange_halo(local: jnp.ndarray, overlap: int, axis_name: str, dim: int):
 
 
 def temporal_map_overlap(
-    fn: Callable[[jnp.ndarray], jnp.ndarray],
-    frames: jnp.ndarray,
+    fn: Callable,
+    frames,
     mesh: Mesh,
     overlap: int,
     axis: str = "data",
 ) -> jnp.ndarray:
     """Apply a windowed temporal model per shard with halo context.
 
-    ``fn`` maps ``(n_local + 2*overlap, H, W, C) -> same shape``; output
-    keeps only each shard's own n_local frames (overlap trimmed, like the
-    reference's chunk merger at elvis.py:1650-1657). N must be divisible
-    by the mesh axis size (use parallel.mesh.shard_frames to pad).
+    ``frames`` is one array or a tuple of arrays sharing the leading
+    (frame) axis — e.g. (frames, per-frame masks); every array gets the
+    same halo exchange and ``fn`` receives the extended versions in order.
+    ``fn`` maps ``(n_local + 2*overlap, ...) -> (n_local + 2*overlap, ...)``
+    frames; output keeps only each shard's own n_local frames (overlap
+    trimmed, like the reference's chunk merger at elvis.py:1650-1657).
+    N must be divisible by the mesh axis size (use
+    parallel.mesh.shard_frames to pad) and n_local must be >= overlap.
     """
-    n = frames.shape[0]
+    is_multi = isinstance(frames, (tuple, list))
+    arrays = tuple(frames) if is_multi else (frames,)
+    n = arrays[0].shape[0]
     n_dev = mesh.shape[axis]
     assert n % n_dev == 0, f"frames {n} not divisible by mesh axis {n_dev}"
+    assert n // n_dev >= overlap, (
+        f"local chunk {n // n_dev} smaller than overlap {overlap}"
+    )
 
-    def shard_fn(local):
-        left, right = _exchange_halo(local, overlap, axis, dim=0)
-        extended = jnp.concatenate([left, local, right], axis=0)
-        out = fn(extended)
-        return out[overlap : overlap + local.shape[0]]
+    def shard_fn(*locals_):
+        extended = []
+        for loc in locals_:
+            left, right = _exchange_halo(loc, overlap, axis, dim=0)
+            extended.append(jnp.concatenate([left, loc, right], axis=0))
+        out = fn(*extended) if is_multi else fn(extended[0])
+        return out[overlap : overlap + locals_[0].shape[0]]
 
-    spec = P(axis, *([None] * (frames.ndim - 1)))
-    return shard_map(shard_fn, mesh=mesh, in_specs=(spec,), out_specs=spec)(frames)
+    specs = tuple(P(axis, *([None] * (a.ndim - 1))) for a in arrays)
+    out_spec = P(axis, *([None] * (arrays[0].ndim - 1)))
+    return shard_map(shard_fn, mesh=mesh, in_specs=specs, out_specs=out_spec)(*arrays)
 
 
 def spatial_tile_map(

@@ -80,17 +80,18 @@ def make_mesh(
     return Mesh(arr, tuple(names))
 
 
-def frame_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+def frame_sharding(mesh: Mesh, axis: str = "data", ndim: int = 4) -> NamedSharding:
     """Sharding placing the leading (frame) axis across ``axis``."""
-    spec = [None] * 4
+    spec = [None] * ndim
     spec[0] = axis
     return NamedSharding(mesh, P(*spec))
 
 
 def shard_frames(frames, mesh: Mesh, axis: str = "data"):
-    """Place ``(N, H, W, C)`` frames with N sharded across the mesh; pads
-    N up to a multiple of the axis size with edge frames when needed
-    (callers trim by remembering the original N)."""
+    """Place a per-frame array (``(N, ...)``: frames, level maps, masks)
+    with N sharded across the mesh; pads N up to a multiple of the axis
+    size with edge repeats when needed (callers trim by remembering the
+    original N)."""
     import jax.numpy as jnp
 
     size = mesh.shape[axis]
@@ -98,4 +99,4 @@ def shard_frames(frames, mesh: Mesh, axis: str = "data"):
     pad = (-n) % size
     if pad:
         frames = jnp.concatenate([frames, jnp.repeat(frames[-1:], pad, axis=0)], axis=0)
-    return jax.device_put(frames, frame_sharding(mesh, axis)), n
+    return jax.device_put(frames, frame_sharding(mesh, axis, frames.ndim)), n

@@ -92,6 +92,52 @@ class APPROACHES:
     PRESLEY_UNSHARP = "PRESLEY Unsharp"
 
 
+class _DataParallel:
+    """Frame-axis data parallelism (SURVEY.md §2.7 P1-P3, P6).
+
+    ``apply`` pads N up to a device multiple (edge-frame repeats), shards
+    the leading axis, runs a per-frame op, and trims — no silent no-op
+    when N doesn't divide the device count. ``apply_temporal``
+    additionally exchanges a temporal halo (parallel.halo, collective
+    permute over ICI) so windowed ops see neighbour context, the mesh
+    version of the reference's chunk-overlap staging (elvis.py:1506-1566);
+    it falls back to unsharded only when a local chunk would be smaller
+    than the window itself.
+    """
+
+    def __init__(self, enabled: bool):
+        self.mesh = None
+        if enabled and len(jax.devices()) > 1:
+            from elvis_tpu.parallel import make_mesh
+
+            self.mesh = make_mesh()
+
+    def apply(self, fn, *arrays):
+        arrays = [jnp.asarray(a) for a in arrays]
+        if self.mesh is None:
+            return fn(*arrays)
+        from elvis_tpu.parallel.mesh import shard_frames
+
+        n = arrays[0].shape[0]
+        padded = [shard_frames(a, self.mesh)[0] for a in arrays]
+        return fn(*padded)[:n]
+
+    def apply_temporal(self, fn, arrays, overlap: int):
+        arrays = [jnp.asarray(a) for a in arrays]
+        if self.mesh is None:
+            return fn(*arrays)
+        n = arrays[0].shape[0]
+        size = self.mesh.shape["data"]
+        if (n + ((-n) % size)) // size < overlap:
+            return fn(*arrays)  # chunk smaller than the temporal window
+        from elvis_tpu.parallel.halo import temporal_map_overlap
+        from elvis_tpu.parallel.mesh import shard_frames
+
+        padded = tuple(shard_frames(a, self.mesh)[0] for a in arrays)
+        out = temporal_map_overlap(fn, padded, self.mesh, overlap)
+        return out[:n]
+
+
 def run_elvis(config: ElvisConfig) -> Dict:
     """Execute the pipeline; returns (and writes) analysis_results."""
     if config.profile_dir:
@@ -136,21 +182,11 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
     )
     execution_times["Preprocessing"] = time.time() - t0
 
-    # Frame-axis data parallelism (SURVEY.md §2.7 P1-P3 -> one sharding):
-    # per-frame restoration stages run sharded when the clip divides the
-    # device count; ops with temporal coupling stay unsharded here and use
-    # parallel.halo when scaled explicitly.
-    shard = lambda x: x  # noqa: E731
-    if config.data_parallel and len(jax.devices()) > 1 and n % len(jax.devices()) == 0:
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        from elvis_tpu.parallel import make_mesh
-
-        _mesh = make_mesh()
-
-        def shard(x):  # noqa: F811 — leading (frame) axis split, rest replicated
-            spec = PartitionSpec("data", *([None] * (x.ndim - 1)))
-            return jax.device_put(x, NamedSharding(_mesh, spec))
+    # Frame-axis data parallelism (SURVEY.md §2.7 P1-P3 and the temporal
+    # halo of P6): per-frame stages pad N to a device multiple and shard;
+    # windowed temporal stages additionally exchange halo frames over ICI
+    # so each shard sees its neighbours' context.
+    dp = _DataParallel(config.data_parallel)
 
     # Codec dispatch (elvis_tpu.codec.dispatch): the built-in NVC codec or
     # the external x265/kvazaar/SVT-AV1 wrappers, one interface.
@@ -336,10 +372,17 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         backend_provenance[label] = prov
         row_branch[label] = "shrunk"
         t0 = time.time()
-        if name == "diffusion":  # per-frame op: frame-axis shardable
-            out = fn(shard(stretched), shard(removal_mask), b)
+        if name == "diffusion":  # per-frame op: plain frame sharding
+            out = dp.apply(lambda f, m: fn(f, m, b), stretched, removal_mask)
         else:
-            out = fn(stretched, removal_mask, b)
+            # Windowed temporal op: shard with halo context. Overlap is
+            # 2x the propagation window — the fill needs `window` frames
+            # of context and the motion estimate another `window` on top
+            # (motion runs on the zero-motion fill), so 2w gives exact
+            # sharded == unsharded equivalence.
+            out = dp.apply_temporal(
+                lambda f, m: fn(f, m, b), (stretched, removal_mask), overlap=16
+            )
         decoded[label] = np.asarray(out)
         dt = time.time() - t0
         execution_times[timer] = dt
@@ -354,9 +397,11 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         backend_provenance[label] = prov
         row_branch[label] = "downsampled"
         t0 = time.time()
-        sr_out = fn(shard(jnp.asarray(down_decoded)), shard(levels_dec), b)
+        sr_out = dp.apply(lambda f, m: fn(f, m, b), down_decoded, levels_dec)
         if config.temporal_blend > 0:
-            sr_out = temporal_blend(sr_out, config.temporal_blend)
+            sr_out = dp.apply_temporal(
+                lambda f: temporal_blend(f, config.temporal_blend), (sr_out,), overlap=8
+            )
         decoded[label] = np.asarray(sr_out)
         dt = time.time() - t0
         execution_times[timer] = dt
@@ -373,9 +418,11 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         backend_provenance[label] = prov
         row_branch[label] = "gaussian"
         t0 = time.time()
-        deblurred = fn(shard(jnp.asarray(blur_decoded)), shard(blur_levels_dec), b)
+        deblurred = dp.apply(lambda f, m: fn(f, m, b), blur_decoded, blur_levels_dec)
         if config.temporal_blend > 0:
-            deblurred = temporal_blend(deblurred, config.temporal_blend)
+            deblurred = dp.apply_temporal(
+                lambda f: temporal_blend(f, config.temporal_blend), (deblurred,), overlap=8
+            )
         decoded[label] = np.asarray(deblurred)
         dt = time.time() - t0
         execution_times[timer] = dt
@@ -406,12 +453,14 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
     if config.generate_opencv_benchmarks:
         t0 = time.time()
         decoded[APPROACHES.PRESLEY_LANCZOS] = np.asarray(
-            restore_downsample_lanczos(jnp.asarray(down_decoded), levels_dec, b)
+            dp.apply(lambda f, m: restore_downsample_lanczos(f, m, b),
+                     down_decoded, levels_dec)
         )
         bitrates[APPROACHES.PRESLEY_LANCZOS] = bitrates[APPROACHES.PRESLEY_REALESRGAN]
         decoded[APPROACHES.PRESLEY_UNSHARP] = np.asarray(
-            restore_blur_unsharp(
-                jnp.asarray(blur_decoded), blur_levels_dec, b, config.gaussian_max_rounds
+            dp.apply(
+                lambda f, m: restore_blur_unsharp(f, m, b, config.gaussian_max_rounds),
+                blur_decoded, blur_levels_dec,
             )
         )
         bitrates[APPROACHES.PRESLEY_UNSHARP] = bitrates[APPROACHES.PRESLEY_INSTANTIR]

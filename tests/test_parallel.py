@@ -118,3 +118,61 @@ class TestShardedPipelineOps:
         )
         sharded = jax.jit(job)(fsh, ssh)
         np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-5)
+
+
+class TestTemporalHaloEquivalence:
+    def test_mc_inpaint_sharded_matches_unsharded(self, rng):
+        """restore_removal_temporal through temporal_map_overlap with
+        overlap = 2*window must equal the global run exactly (fill needs
+        `window` context, motion estimation another `window`)."""
+        import functools
+
+        from elvis_tpu.core.blocks import upsample_map
+        from elvis_tpu.parallel import make_mesh
+        from elvis_tpu.parallel.halo import temporal_map_overlap
+        from elvis_tpu.restore.inpaint import restore_removal_temporal
+
+        n, h, w, pan = 32, 32, 48, 2
+        wide = (rng.random((h, w + pan * n, 3)) * 255).astype(np.float32)
+        clip = np.stack([wide[:, pan * t : pan * t + w] for t in range(n)])
+        clip = clip.astype(np.uint8)
+        mask = (rng.random((n, h // 8, w // 8)) < 0.2).astype(np.int8)
+        holes = np.asarray(upsample_map(jnp.asarray(mask), 8))[..., None].astype(bool)
+        holed = jnp.asarray(np.where(holes, 0, clip))
+        m = jnp.asarray(mask)
+
+        fn = functools.partial(restore_removal_temporal, block_size=8,
+                               window=2, motion_radius=3)
+        direct = np.asarray(fn(holed, m))
+        mesh = make_mesh()
+        sharded = np.asarray(
+            temporal_map_overlap(lambda f, mm: fn(f, mm), (holed, m), mesh, overlap=4)
+        )
+        np.testing.assert_array_equal(sharded, direct)
+
+    @pytest.mark.slow
+    def test_run_elvis_sharded_matches_unsharded(self, tmp_path):
+        """e2e: data_parallel on/off must produce (near-)identical
+        metrics, including when N doesn't divide the device count (the
+        padding path; round-1 silently skipped sharding in that case)."""
+        from elvis_tpu.pipeline import ElvisConfig, run_elvis
+
+        def go(dpflag, sub):
+            cfg = ElvisConfig(
+                reference_video="synthetic://moving?frames=10&fps=24",
+                width=64, height=48, block_size=8,
+                experiment_dir=str(tmp_path / sub),
+                enable_fvmd=False, enable_vmaf=False,
+                generate_opencv_benchmarks=True,
+                target_bitrate_override=100_000,
+                data_parallel=dpflag,
+            )
+            return run_elvis(cfg)
+
+        r_on, r_off = go(True, "on"), go(False, "off")
+        for label in ("Baseline", "PRESLEY RealESRGAN", "PRESLEY InstantIR",
+                      "ELVIS ProPainter", "ELVIS CV2", "PRESLEY Lanczos"):
+            for region in ("foreground", "background"):
+                a = r_on[label][region]["psnr_mean"]
+                b = r_off[label][region]["psnr_mean"]
+                assert abs(a - b) < 1e-3, (label, region, a, b)
