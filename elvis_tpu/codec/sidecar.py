@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import io
 import struct
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -22,6 +22,8 @@ from elvis_tpu.codec.nvc import entropy
 
 __all__ = [
     "save_strength_maps_npz",
+    "save_strength_maps_video",
+    "load_strength_maps_video",
     "load_strength_maps_npz",
     "encode_strength_maps",
     "decode_strength_maps",
@@ -94,6 +96,46 @@ def decode_strength_maps_video(
     gray = frames.astype(np.float32).mean(axis=-1)
     vals = gray / 255.0 * (max_val - min_val) + min_val
     return np.round(vals).astype(np.uint8)
+
+
+_VMAGIC = b"NVSV"
+
+
+def save_strength_maps_video(
+    maps: np.ndarray, path: str, *, framerate: float = 30.0,
+    target_bitrate: Optional[float] = None, qp: int = 30,
+) -> int:
+    """The reference's VIDEO strength-map sidecar as a file
+    (elvis.py:2198-2245: gray video at ~strength_maps_target_bitrate;
+    decode range rides in-band, fixing its bug #6). Returns file size."""
+    if target_bitrate is not None:
+        # map the bitrate budget to a QP through the codec's rate model
+        from elvis_tpu.codec.nvc.codec import NvcCodec
+
+        maps_f = np.asarray(maps, dtype=np.float32)
+        lo, hi = float(maps_f.min()), float(maps_f.max())
+        norm = (maps_f - lo) / (hi - lo + 1e-12) * 255.0
+        rgb = np.repeat(norm[..., None], 3, axis=-1).astype(np.uint8)
+        stream = NvcCodec().encode(
+            rgb, target_bitrate=target_bitrate, framerate=framerate
+        )
+    else:
+        stream, lo, hi = encode_strength_maps_video(
+            maps, framerate=framerate, qp=qp
+        )
+    with open(path, "wb") as f:
+        f.write(_VMAGIC + struct.pack("<ff", lo, hi) + stream)
+    import os
+
+    return os.path.getsize(path)
+
+
+def load_strength_maps_video(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        blob = f.read()
+    assert blob[:4] == _VMAGIC
+    lo, hi = struct.unpack_from("<ff", blob, 4)
+    return decode_strength_maps_video(blob[4 + struct.calcsize("<ff"):], lo, hi)
 
 
 def save_removal_masks_npz(masks: np.ndarray, path: str) -> int:

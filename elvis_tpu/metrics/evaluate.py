@@ -23,7 +23,7 @@ from typing import Dict, Optional
 import numpy as np
 import jax.numpy as jnp
 
-from elvis_tpu.metrics.fvmd import fvmd as fvmd_metric
+from elvis_tpu.metrics.fvmd import fvmd_incremental
 from elvis_tpu.metrics.perceptual import lpips_distance
 from elvis_tpu.metrics.pixel import mask_union_bbox, masked_mse, masked_psnr, masked_ssim
 from elvis_tpu.metrics.vmaf import compute_vmaf, vmaf_available
@@ -46,7 +46,11 @@ def evaluate_approach(
     metric_stride: int = 1,
     enable_fvmd: bool = True,
     fvmd_stride: int = 1,
+    fvmd_early_stop_delta: float = 0.002,
+    fvmd_early_stop_window: int = 50,
+    fvmd_max_frames: Optional[int] = None,
     enable_vmaf: bool = True,
+    vmaf_stride: int = 1,
     framerate: float = 30.0,
 ) -> Dict:
     """One approach -> the reference's per-video result dict."""
@@ -103,20 +107,41 @@ def evaluate_approach(
     }
 
     if enable_fvmd and n >= 4:
+        # Incremental early-stop + sliding-window std, the reference's
+        # elvis.py:3535-3583 machinery; fvmd_std is the stability measure.
+        fvmd_kw = dict(
+            stride=fvmd_stride,
+            early_stop_delta=fvmd_early_stop_delta,
+            window=fvmd_early_stop_window,
+            max_frames=fvmd_max_frames,
+        )
         masked_ref_fg = np.asarray(ref * fg_pix_full(fg))
         masked_dec_fg = np.asarray(dec * fg_pix_full(fg))
-        result["foreground"]["fvmd"] = fvmd_metric(
-            masked_ref_fg, masked_dec_fg, stride=fvmd_stride
-        )
+        fg_v, fg_std = fvmd_incremental(masked_ref_fg, masked_dec_fg, **fvmd_kw)
+        result["foreground"]["fvmd"] = fg_v
+        result["foreground"]["fvmd_std"] = fg_std
         masked_ref_bg = np.asarray(ref * (1 - fg_pix_full(fg)))
         masked_dec_bg = np.asarray(dec * (1 - fg_pix_full(fg)))
-        result["background"]["fvmd"] = fvmd_metric(
-            masked_ref_bg, masked_dec_bg, stride=fvmd_stride
-        )
+        bg_v, bg_std = fvmd_incremental(masked_ref_bg, masked_dec_bg, **fvmd_kw)
+        result["background"]["fvmd"] = bg_v
+        result["background"]["fvmd_std"] = bg_std
 
     if enable_vmaf and vmaf_available():
-        v = compute_vmaf(np.asarray(ref), np.asarray(dec), framerate)
-        result["vmaf"] = v
+        # Per-region masked-crop VMAF (elvis.py:3895-3947): foreground on
+        # the mask-zeroed bbox crop, background on the FG-zeroed frames —
+        # plus the full-frame score. vmaf_stride subsamples frames.
+        vs = np.arange(0, n, vmaf_stride)
+        fgm = np.asarray(fg)[vs][..., None].astype(np.float32)
+        ref_v, dec_v = np.asarray(ref)[vs], np.asarray(dec)[vs]
+        fg_crop_r = (ref_v[:, y : y + h, x : x + w]
+                     * fgm[:, y : y + h, x : x + w])
+        fg_crop_d = (dec_v[:, y : y + h, x : x + w]
+                     * fgm[:, y : y + h, x : x + w])
+        result["foreground"]["vmaf"] = compute_vmaf(fg_crop_r, fg_crop_d, framerate)["mean"]
+        result["background"]["vmaf"] = compute_vmaf(
+            ref_v * (1 - fgm), dec_v * (1 - fgm), framerate
+        )["mean"]
+        result["vmaf"] = compute_vmaf(ref_v, dec_v, framerate)
     return result
 
 
@@ -134,22 +159,35 @@ def analyze_encoding_performance(
     metric_stride: int = 1,
     enable_fvmd: bool = True,
     fvmd_stride: int = 1,
+    fvmd_early_stop_delta: float = 0.002,
+    fvmd_early_stop_window: int = 50,
+    fvmd_max_frames: Optional[int] = None,
     enable_vmaf: bool = True,
+    vmaf_stride: int = 1,
+    analysis_sample_frames: Optional[int] = None,
 ) -> Dict:
     """All approaches -> {label: result dict} (the analysis_results.json
-    body, elvis.py:3599 fan-out)."""
+    body, elvis.py:3599 fan-out). ``analysis_sample_frames`` caps the
+    number of frames entering the analysis (the search drivers' knob,
+    SURVEY.md §2.9 bug #4)."""
+    if analysis_sample_frames:
+        reference_frames = reference_frames[:analysis_sample_frames]
     out: Dict[str, Dict] = {}
     for label, frames in decoded_videos.items():
         t0 = time.time()
         out[label] = evaluate_approach(
             reference_frames,
-            frames,
+            frames if not analysis_sample_frames else frames[:analysis_sample_frames],
             fg_masks,
             video_bitrates.get(label, 0.0),
             metric_stride=metric_stride,
             enable_fvmd=enable_fvmd,
             fvmd_stride=fvmd_stride,
+            fvmd_early_stop_delta=fvmd_early_stop_delta,
+            fvmd_early_stop_window=fvmd_early_stop_window,
+            fvmd_max_frames=fvmd_max_frames,
             enable_vmaf=enable_vmaf,
+            vmaf_stride=vmaf_stride,
             framerate=framerate,
         )
         out[label]["evaluation_seconds"] = time.time() - t0

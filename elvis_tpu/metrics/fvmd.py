@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from elvis_tpu.ops.color import rgb_to_gray
 from elvis_tpu.ops.motion import block_motion
 
-__all__ = ["motion_features", "frechet_distance", "fvmd"]
+__all__ = ["motion_features", "frechet_distance", "fvmd", "fvmd_incremental"]
 
 
 def motion_features(
@@ -79,7 +79,8 @@ def fvmd(
     stride: int = 1,
 ) -> float:
     """Frechet video motion distance between two clips (lower = closer
-    motion dynamics). Needs >= 4 frames (velocity + acceleration)."""
+    motion dynamics). Needs >= 4 frames (velocity + acceleration).
+    One-shot (no incremental machinery): full-clip features, one fit."""
     if ref_frames.shape[0] < 4:
         return float("nan")
     r = ref_frames[::stride] if stride > 1 else ref_frames
@@ -87,3 +88,51 @@ def fvmd(
     fa = np.asarray(motion_features(jnp.asarray(r), block_size, radius))
     fb = np.asarray(motion_features(jnp.asarray(d), block_size, radius))
     return frechet_distance(fa, fb)
+
+
+def fvmd_incremental(
+    ref_frames: jnp.ndarray,
+    dec_frames: jnp.ndarray,
+    *,
+    block_size: int = 16,
+    radius: int = 4,
+    stride: int = 1,
+    early_stop_delta: float = 0.002,
+    window: int = 50,
+    max_frames: int | None = None,
+) -> tuple:
+    """FVMD with the reference's incremental early-stop machinery
+    (elvis.py:3535-3583): the estimate is recomputed over growing frame
+    prefixes; when the sliding ``window`` of recent estimates moves less
+    than ``early_stop_delta`` (relative), iteration stops. Returns
+    ``(fvmd, fvmd_std)`` where the std is over the sliding window — the
+    stability measure the reference reports alongside the value.
+
+    Motion features for the full clip are extracted once on device; the
+    incremental part re-fits only the (tiny) Gaussian statistics per
+    prefix, so early-stop here saves host math, not tracking — kept for
+    schema/semantics parity and for the stability std.
+    """
+    if ref_frames.shape[0] < 4:
+        return float("nan"), float("nan")
+    r = ref_frames[::stride] if stride > 1 else ref_frames
+    d = dec_frames[::stride] if stride > 1 else dec_frames
+    if max_frames is not None:
+        r, d = r[:max_frames], d[:max_frames]
+    if r.shape[0] < 4:
+        return float("nan"), float("nan")
+    fa = np.asarray(motion_features(jnp.asarray(r), block_size, radius))
+    fb = np.asarray(motion_features(jnp.asarray(d), block_size, radius))
+
+    estimates = []
+    n_feat = fa.shape[0]
+    start = min(4, n_feat)
+    for k in range(start, n_feat + 1):
+        estimates.append(frechet_distance(fa[:k], fb[:k]))
+        if early_stop_delta > 0 and len(estimates) >= window:
+            recent = np.asarray(estimates[-window:])
+            scale = max(abs(recent[-1]), 1e-9)
+            if (np.abs(np.diff(recent)) / scale).mean() < early_stop_delta:
+                break
+    recent = np.asarray(estimates[-window:]) if estimates else np.asarray([np.nan])
+    return float(estimates[-1]), float(recent.std())

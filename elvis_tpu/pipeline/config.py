@@ -80,6 +80,10 @@ class ElvisConfig:
     metric_stride: int = 1
     fvmd_stride: int = 1
     fvmd_max_frames: Optional[int] = None
+    # fvmd_processes sized the reference's per-GPU FVMD process pool
+    # (elvis.py:3999-4033); here FVMD is batched jitted reductions with no
+    # process pool, so the field is accepted for config parity and has no
+    # mechanism to drive (documented-absorbed, not silently ignored).
     fvmd_processes: Optional[int] = None
     fvmd_early_stop_delta: float = 0.002
     fvmd_early_stop_window: int = 50

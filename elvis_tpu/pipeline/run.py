@@ -47,6 +47,7 @@ from elvis_tpu.codec import (
     save_strength_maps_npz,
 )
 from elvis_tpu.codec.dispatch import make_pipeline_codec
+from elvis_tpu.codec.sidecar import load_strength_maps_video, save_strength_maps_video
 from elvis_tpu.degrade import (
     adaptive_blur,
     adaptive_downsample,
@@ -296,11 +297,25 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
     # --- stage 5: downsample branch (elvis.py:4462-4486) --------------------
     t0 = time.time()
     down_frames, down_levels = adaptive_downsample(frames, scores, b)
+    # Strength-map sidecar format: npz (lossless) or the reference's video
+    # sidecar at strength_maps_target_bitrate (elvis.py:2198-2245 / 4837).
+    def _save_maps(levels, name):
+        if config.strength_maps_use_npz:
+            path = os.path.join(maps_dir, f"{name}_maps.npz")
+            return path, save_strength_maps_npz(np.asarray(levels), path)
+        path = os.path.join(maps_dir, f"{name}_maps.nvsv")
+        return path, save_strength_maps_video(
+            np.asarray(levels), path, framerate=framerate,
+            target_bitrate=config.strength_maps_target_bitrate,
+        )
+
+    def _load_maps(path):
+        if path.endswith(".npz"):
+            return jnp.asarray(np.load(path)["strength_maps"].astype(np.int32))
+        return jnp.asarray(load_strength_maps_video(path).astype(np.int32))
+
     streams["downsampled"] = codec.encode(np.asarray(down_frames), **enc_kw)
-    down_maps_path = os.path.join(maps_dir, "downsample_maps.npz")
-    sidecar_sizes["downsample"] = save_strength_maps_npz(
-        np.asarray(down_levels), down_maps_path
-    )
+    down_maps_path, sidecar_sizes["downsample"] = _save_maps(down_levels, "downsample")
     down_decoded = codec.decode(streams["downsampled"])
     dt = time.time() - t0
     execution_times["Downsampled Encoding"] = dt
@@ -312,10 +327,7 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         frames, scores, b, config.gaussian_max_rounds
     )
     streams["gaussian"] = codec.encode(np.asarray(blur_frames), **enc_kw)
-    blur_maps_path = os.path.join(maps_dir, "gaussian_maps.npz")
-    sidecar_sizes["gaussian"] = save_strength_maps_npz(
-        np.asarray(blur_levels), blur_maps_path
-    )
+    blur_maps_path, sidecar_sizes["gaussian"] = _save_maps(blur_levels, "gaussian")
     blur_decoded = codec.decode(streams["gaussian"])
     dt = time.time() - t0
     execution_times["Gaussian Encoding"] = dt
@@ -330,14 +342,9 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         t0 = time.time()
         damp_frames, damp_levels = dct_dampen(frames, scores, b)
         streams["dampened"] = codec.encode(np.asarray(damp_frames), **enc_kw)
-        damp_maps_path = os.path.join(maps_dir, "dampen_maps.npz")
-        sidecar_sizes["dampen"] = save_strength_maps_npz(
-            np.asarray(damp_levels), damp_maps_path
-        )
+        damp_maps_path, sidecar_sizes["dampen"] = _save_maps(damp_levels, "dampen")
         damp_decoded = codec.decode(streams["dampened"])
-        damp_levels_dec = jnp.asarray(
-            np.load(damp_maps_path)["strength_maps"].astype(np.int32)
-        )
+        damp_levels_dec = _load_maps(damp_maps_path)
         decoded[APPROACHES.ELVIS_V2_DAMPEN] = np.asarray(
             restore_dct_dampen_inverse(jnp.asarray(damp_decoded), damp_levels_dec, b)
         )
@@ -389,7 +396,7 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         approach_times[label] += dt
 
     # --- stage 9: progressive SR restore (elvis.py:4695-4722) ----------------
-    levels_dec = jnp.asarray(np.load(down_maps_path)["strength_maps"].astype(np.int32))
+    levels_dec = _load_maps(down_maps_path)
     for i, name in enumerate(config.sr_backends):
         label = APPROACHES.PRESLEY_REALESRGAN if i == 0 else f"PRESLEY SR {name}"
         timer = "RealESRGAN Restoration" if i == 0 else f"SR {name} Restoration"
@@ -408,9 +415,7 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         approach_times[label] += dt
 
     # --- stage 10: deblur restore (elvis.py:4755-4794) ------------------------
-    blur_levels_dec = jnp.asarray(
-        np.load(blur_maps_path)["strength_maps"].astype(np.int32)
-    )
+    blur_levels_dec = _load_maps(blur_maps_path)
     for i, name in enumerate(config.deblur_backends):
         label = APPROACHES.PRESLEY_INSTANTIR if i == 0 else f"PRESLEY Deblur {name}"
         timer = "InstantIR Restoration" if i == 0 else f"Deblur {name} Restoration"
@@ -477,7 +482,12 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         metric_stride=config.metric_stride,
         enable_fvmd=config.enable_fvmd,
         fvmd_stride=config.fvmd_stride,
+        fvmd_early_stop_delta=config.fvmd_early_stop_delta,
+        fvmd_early_stop_window=config.fvmd_early_stop_window,
+        fvmd_max_frames=config.fvmd_max_frames,
         enable_vmaf=config.enable_vmaf,
+        vmaf_stride=config.vmaf_stride,
+        analysis_sample_frames=config.analysis_sample_frames,
     )
     execution_times["Performance Evaluation"] = time.time() - t0
     for approach, total in approach_times.items():

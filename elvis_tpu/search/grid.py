@@ -15,6 +15,7 @@ import itertools
 import json
 import math
 import os
+import re
 import shutil
 from pathlib import Path
 from typing import Any, Dict, List, Optional
@@ -41,17 +42,19 @@ DEFAULT_PARAMETER_GRID: Dict[str, List[Any]] = {
 }
 
 
+_SLUG_CHARMAP = str.maketrans({"/": "-", "\\": "-", " ": "-", ".": "p"})
+_SLUG_KEEP = re.compile(r"[^0-9A-Za-z_-]")
+
+
 def slugify(parts: Dict[str, Any]) -> str:
-    """Deterministic run-directory name from override values
-    (elvis_grid_search.py:96-105 conventions: '.' -> 'p', path seps -> '-')."""
-    segments: List[str] = []
-    for key, value in parts.items():
-        text = str(value)
-        text = text.replace("/", "-").replace("\\", "-")
-        text = text.replace(" ", "-").replace(".", "p")
-        text = "".join(ch for ch in text if ch.isalnum() or ch in {"-", "_"})
-        segments.append(f"{key}-{text}")
-    return "_".join(segments)
+    """Deterministic run-directory name from override values. The naming
+    CONVENTION matches the reference's run dirs ('.' -> 'p', path
+    separators -> '-', non-alphanumerics dropped;
+    elvis_grid_search.py:96-105) so existing tooling resolves them."""
+    def clean(value: Any) -> str:
+        return _SLUG_KEEP.sub("", str(value).translate(_SLUG_CHARMAP))
+
+    return "_".join(f"{key}-{clean(value)}" for key, value in parts.items())
 
 
 def is_valid_overrides(overrides: Dict[str, Any]) -> bool:
@@ -96,7 +99,11 @@ def _run_one(overrides: Dict[str, Any], results_dir: Path, varying: List[str]) -
     with open(run_dir / "analysis_results.json", "w") as f:
         json.dump({**analysis, **labeled}, f, indent=4, default=float)
     return {"slug": slug, "status": "ok", "overrides": overrides,
-            "metrics": labeled["metrics"]}
+            "metrics": labeled["metrics"],
+            "execution_times_seconds": labeled["execution_times_seconds"],
+            "video_resolution": analysis.get("video_resolution"),
+            "num_frames": analysis.get("video_length_seconds", 0)
+            * analysis.get("video_framerate", 0)}
 
 
 def grid_search(
@@ -123,6 +130,15 @@ def grid_search(
             summary.append(entry)
     with open(results_path / "runs_summary.json", "w") as f:
         json.dump(summary, f, indent=4, default=float)
+    # figure roll-up like the reference notebook; minimal_figures (the
+    # search drivers' injected knob, SURVEY.md bug #4) trims to the core set
+    minimal = bool(grid.get("minimal_figures", [False])[0])
+    try:
+        from elvis_tpu.search.plots import generate_figures
+
+        generate_figures(str(results_path), minimal=minimal)
+    except Exception as exc:  # figures are best-effort, never fail a sweep
+        print(f"figure generation skipped: {exc}")
     return summary
 
 

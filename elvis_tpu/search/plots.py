@@ -16,7 +16,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-__all__ = ["load_runs", "runs_to_dataframe", "generate_figures"]
+__all__ = ["load_runs", "runs_to_dataframe", "generate_figures", "classify_stage"]
 
 _METRICS = ["psnr_mean", "ssim_mean", "mse_mean", "lpips_mean"]
 
@@ -42,6 +42,10 @@ def load_runs(results_dir: str) -> List[Dict]:
                 k: v for k, v in data.items()
                 if isinstance(v, dict) and "foreground" in v
             },
+            "execution_times_seconds": data.get("execution_times_seconds", {}),
+            "video_resolution": data.get("video_resolution"),
+            "num_frames": data.get("video_length_seconds", 0)
+            * data.get("video_framerate", 0),
         })
     return runs
 
@@ -66,8 +70,30 @@ def runs_to_dataframe(runs: List[Dict]):
     return pd.DataFrame(rows)
 
 
-def generate_figures(results_dir: str, out_dir: Optional[str] = None) -> List[str]:
-    """Write the figure set; returns the saved paths."""
+_TASK_BUCKETS = (
+    # notebook cell 17's task classifier: stage-timing keys -> task class
+    ("Preprocessing", ("Preprocessing",)),
+    ("Removability", ("Removability",)),
+    ("Baseline", ("Baseline",)),
+    ("ELVIS", ("ELVIS", "Inpainting", "Shrinking", "Stretching")),
+    ("PRESLEY", ("PRESLEY", "Restoration", "QP Encoding",
+                 "Downsampled Encoding", "Gaussian Encoding", "Dampen")),
+    ("Evaluation", ("Evaluation", "Benchmarks")),
+)
+
+
+def classify_stage(stage_name: str) -> str:
+    for bucket, needles in _TASK_BUCKETS:
+        if any(n in stage_name for n in needles):
+            return bucket
+    return "Other"
+
+
+def generate_figures(
+    results_dir: str, out_dir: Optional[str] = None, *, minimal: bool = False
+) -> List[str]:
+    """Write the figure set; returns the saved paths. ``minimal`` keeps
+    only the core FG-vs-BG scatters (the reference's minimal_figures)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -101,7 +127,42 @@ def generate_figures(results_dir: str, out_dir: Optional[str] = None) -> List[st
         ax.legend(fontsize=6)
         save(fig, f"fg_vs_bg_{metric}.png")
 
-    # 2. per-approach metric distributions (violin/box)
+    if minimal:
+        return saved
+
+    # 1b. hexbin + kde views of the same FG-vs-BG relation (notebook
+    # 'metric_hexbin' / 'metric_kde' figure names)
+    for metric in ("psnr_mean", "ssim_mean"):
+        fg = df[df.region == "foreground"].set_index(["slug", "approach"])[metric]
+        bg = df[df.region == "background"].set_index(["slug", "approach"])[metric]
+        joined = fg.to_frame("fg").join(bg.to_frame("bg")).dropna()
+        if len(joined) < 3:
+            continue
+        fig, ax = plt.subplots(figsize=(5, 4))
+        hb = ax.hexbin(joined["bg"], joined["fg"], gridsize=14, cmap="viridis",
+                       mincnt=1)
+        fig.colorbar(hb, ax=ax, label="runs")
+        ax.set_xlabel(f"background {metric}")
+        ax.set_ylabel(f"foreground {metric}")
+        save(fig, f"metric_hexbin_{metric}.png")
+
+        try:
+            from scipy.stats import gaussian_kde
+
+            vals = joined["fg"].values
+            if np.unique(vals).size > 2:
+                kde = gaussian_kde(vals)
+                xs = np.linspace(vals.min(), vals.max(), 200)
+                fig, ax = plt.subplots(figsize=(5, 3))
+                ax.plot(xs, kde(xs))
+                ax.fill_between(xs, kde(xs), alpha=0.3)
+                ax.set_xlabel(f"foreground {metric}")
+                ax.set_ylabel("density")
+                save(fig, f"metric_kde_{metric}.png")
+        except Exception:
+            pass  # degenerate distributions have no kde
+
+    # 2. per-approach metric distributions (violin + box, notebook cell 3)
     for metric in ("psnr_mean", "ssim_mean"):
         sub = df[df.region == "foreground"][["approach", metric]].dropna()
         if sub.empty:
@@ -113,6 +174,67 @@ def generate_figures(results_dir: str, out_dir: Optional[str] = None) -> List[st
         ax.set_ylabel(f"FG {metric}")
         ax.tick_params(axis="x", rotation=45, labelsize=6)
         save(fig, f"distribution_{metric}.png")
+        if all(len(d) > 1 for d in data):
+            fig, ax = plt.subplots(figsize=(7, 4))
+            ax.violinplot(data, showmedians=True)
+            ax.set_xticks(range(1, len(approaches) + 1), approaches,
+                          rotation=45, fontsize=6)
+            ax.set_ylabel(f"FG {metric}")
+            save(fig, f"metric_violin_{metric}.png")
+
+    # 2b. throughput: FPS by resolution and task class (notebook cell 17's
+    # boxplots + task-classifier stacked timing bars)
+    timing_rows = []
+    for run in runs:
+        times = run.get("execution_times_seconds") or {}
+        res = run.get("video_resolution") or "unknown"
+        nf = float(run.get("num_frames") or 0)
+        for stage, secs in times.items():
+            if not isinstance(secs, (int, float)) or secs <= 0:
+                continue
+            timing_rows.append({
+                "slug": run.get("slug", "?"), "resolution": res,
+                "task": classify_stage(stage), "stage": stage,
+                "seconds": float(secs),
+                "fps": (nf / float(secs)) if nf else float("nan"),
+            })
+    if timing_rows:
+        import pandas as pd
+
+        tdf = pd.DataFrame(timing_rows)
+        tasks = [t for t, _ in _TASK_BUCKETS if (tdf.task == t).any()]
+        resolutions = sorted(tdf.resolution.unique())
+        # FPS-by-resolution boxplots per task class
+        fig, axes = plt.subplots(
+            1, max(len(tasks), 1), figsize=(2.2 * max(len(tasks), 1) + 1, 3.2),
+            sharey=True,
+        )
+        axes = np.atleast_1d(axes)
+        for ax, task in zip(axes, tasks):
+            data = [
+                tdf[(tdf.task == task) & (tdf.resolution == r)]["fps"].dropna().values
+                for r in resolutions
+            ]
+            ax.boxplot([d if len(d) else [np.nan] for d in data],
+                       tick_labels=resolutions)
+            ax.set_title(task, fontsize=7)
+            ax.tick_params(axis="x", rotation=45, labelsize=6)
+            ax.set_yscale("log")
+        axes[0].set_ylabel("frames/sec")
+        save(fig, "fps_by_resolution.png")
+
+        # stacked per-run time bars by task class
+        piv = tdf.pivot_table(index="slug", columns="task", values="seconds",
+                              aggfunc="sum").fillna(0.0)
+        fig, ax = plt.subplots(figsize=(max(4, 0.5 * len(piv)), 3.5))
+        bottom = np.zeros(len(piv))
+        for task in [t for t, _ in _TASK_BUCKETS if t in piv.columns]:
+            ax.bar(range(len(piv)), piv[task].values, bottom=bottom, label=task)
+            bottom += piv[task].values
+        ax.set_xticks(range(len(piv)), piv.index, rotation=90, fontsize=5)
+        ax.set_ylabel("seconds")
+        ax.legend(fontsize=6)
+        save(fig, "task_time_stacked.png")
 
     # 3. offset-vs-baseline heatmap
     base = df[(df.approach == "Baseline") & (df.region == "foreground")].set_index("slug")

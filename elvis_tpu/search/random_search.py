@@ -73,6 +73,13 @@ def random_search(
             summary.append(entry)
     with open(results_path / "runs_summary.json", "w") as f:
         json.dump(summary, f, indent=4, default=float)
+    minimal = bool(grid.get("minimal_figures", [False])[0])
+    try:
+        from elvis_tpu.search.plots import generate_figures
+
+        generate_figures(str(results_path), minimal=minimal)
+    except Exception as exc:  # figures are best-effort, never fail a sweep
+        print(f"figure generation skipped: {exc}")
     return summary
 
 

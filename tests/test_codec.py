@@ -362,3 +362,20 @@ class TestMotionCompensation:
         assert (m[1] == 1).all() and (m[4] == 1).all()
         dec, _ = codec.decode(stream)
         assert dec.shape == clip.shape
+
+
+class TestVideoSidecarFile:
+    def test_roundtrip(self, tmp_path, rng):
+        from elvis_tpu.codec.sidecar import (
+            load_strength_maps_video,
+            save_strength_maps_video,
+        )
+
+        maps = (rng.random((6, 8, 10)) * 3).astype(np.uint8)
+        p = str(tmp_path / "maps.nvsv")
+        size = save_strength_maps_video(maps, p, framerate=24.0, qp=8)
+        assert size == __import__("os").path.getsize(p)
+        back = load_strength_maps_video(p)
+        assert back.shape == maps.shape
+        # lossy video sidecar: levels within 1 of the original
+        assert np.abs(back.astype(int) - maps.astype(int)).max() <= 1

@@ -160,3 +160,25 @@ class TestBlockSsim:
         overall, f, b = fg_bg_ssim(ref, jnp.asarray(dec), jnp.asarray(fg), 8)
         assert float(f) > float(b)
         assert min(float(f), float(b)) <= float(overall) <= max(float(f), float(b))
+
+
+class TestFvmdIncremental:
+    def test_std_populated_and_early_stop(self, rng):
+        from elvis_tpu.metrics.fvmd import fvmd_incremental
+
+        base = (rng.random((24, 32, 48, 3)) * 255).astype(np.float32)
+        noisy = np.clip(base + rng.normal(0, 4, base.shape), 0, 255).astype(np.float32)
+        v, s = fvmd_incremental(base, noisy, early_stop_delta=0.05, window=5)
+        assert np.isfinite(v) and np.isfinite(s) and s >= 0
+        # identical clips: distance ~0, std ~0
+        v0, s0 = fvmd_incremental(base, base.copy(), early_stop_delta=0.05, window=5)
+        assert v0 < 1e-6 and s0 < 1e-6
+
+    def test_max_frames_and_stride(self, rng):
+        from elvis_tpu.metrics.fvmd import fvmd_incremental
+
+        clip = (rng.random((30, 32, 48, 3)) * 255).astype(np.float32)
+        v, _ = fvmd_incremental(clip, clip, stride=2, max_frames=10)
+        assert np.isfinite(v)
+        v_nan, s_nan = fvmd_incremental(clip, clip, max_frames=2)
+        assert np.isnan(v_nan) and np.isnan(s_nan)  # too few frames

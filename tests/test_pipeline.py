@@ -290,3 +290,28 @@ class TestExternalCodecDispatch:
         # hybrid/level_seq rows ride the downsample branch bitrate
         assert (results["PRESLEY SR hybrid"]["bitrate_mbps"]
                 == results[APPROACHES.PRESLEY_REALESRGAN]["bitrate_mbps"])
+
+
+@pytest.mark.slow
+class TestMetricParityKnobs:
+    def test_video_sidecar_and_fvmd_std(self, tmp_path):
+        """strength_maps_use_npz=False writes the video sidecar (.nvsv)
+        and the restore stages consume its DECODED maps; fvmd_std is
+        populated (was hardwired NaN in round 1)."""
+        config = ElvisConfig(
+            reference_video="synthetic://moving?frames=8&fps=24",
+            width=64, height=48, block_size=8,
+            experiment_dir=str(tmp_path / "exp"),
+            enable_fvmd=True, enable_vmaf=False,
+            generate_opencv_benchmarks=False,
+            target_bitrate_override=100_000,
+            strength_maps_use_npz=False,
+            fvmd_early_stop_delta=0.05, fvmd_early_stop_window=3,
+            analysis_sample_frames=8,
+        )
+        results = run_elvis(config)
+        maps_dir = tmp_path / "exp" / "maps"
+        assert (maps_dir / "downsample_maps.nvsv").exists()
+        assert not (maps_dir / "downsample_maps.npz").exists()
+        fg = results[APPROACHES.PRESLEY_REALESRGAN]["foreground"]
+        assert np.isfinite(fg["fvmd"]) and np.isfinite(fg["fvmd_std"])

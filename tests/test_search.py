@@ -47,12 +47,17 @@ class TestDrivers:
         assert len(summary) == 2
         assert all(e["status"] == "ok" for e in summary)
         assert (tmp_path / "runs_summary.json").exists()
-        run_dirs = [d for d in tmp_path.iterdir() if d.is_dir()]
+        run_dirs = [d for d in tmp_path.iterdir() if d.is_dir() and d.name != "figures"]
         assert len(run_dirs) == 2
         for d in run_dirs:
             with open(d / "analysis_results.json") as f:
                 data = json.load(f)
             assert "metrics" in data and "Baseline" in data["metrics"]
+        # the driver rolls figures up like the reference notebook
+        figures = list((tmp_path / "figures").glob("*.png"))
+        assert any("fg_vs_bg" in f.name for f in figures)
+        assert any("fps_by_resolution" in f.name for f in figures)
+        assert any("task_time_stacked" in f.name for f in figures)
 
     def test_random_search_seeded_unique(self, tmp_path):
         summary = random_search(_MINI_GRID, runs=2, seed=3, results_dir=str(tmp_path))
