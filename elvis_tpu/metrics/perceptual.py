@@ -1,14 +1,14 @@
 """LPIPS-class perceptual distance.
 
 The reference computes LPIPS with a pretrained AlexNet backbone
-(elvis.py:3163-3195, per-device model cache). Pretrained weights cannot be
-fetched in this environment, so the default backbone is a *fixed
-random-feature CNN* (seeded, frozen): random multi-scale conv features
-with per-channel unit normalization and layer-averaged L2 distance — the
-LPIPS formula with random filters, which is a well-studied surrogate
-(random nets correlate substantially with human perceptual judgments).
-Trained/converted weights can be dropped in via ``load_params``; the
-metric name in reports stays 'lpips' for schema compatibility
+(elvis.py:3163-3195, per-device model cache). Pretrained weights cannot
+be fetched in this environment, so the backbone is TRAINED IN-FRAMEWORK
+with the LPIPS 2AFC ranking recipe (elvis_tpu.train.cli
+``train_perceptual``: d(clean, weak) < d(clean, strong) along distortion
+paths) and auto-loaded from ``checkpoints/perceptual``. Without that
+checkpoint the fallback is a *fixed random-feature CNN* (seeded, frozen)
+— the LPIPS formula with random filters, a well-studied surrogate.
+The metric name in reports stays 'lpips' for schema compatibility
 (elvis.py:3890-3893).
 """
 
@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-__all__ = ["PerceptualNet", "lpips_distance"]
+__all__ = ["PerceptualNet", "lpips_distance", "lpips_pairwise"]
 
 
 class PerceptualNet(nn.Module):
@@ -46,8 +46,31 @@ class PerceptualNet(nn.Module):
 @functools.lru_cache(maxsize=1)
 def _default_params_and_model():
     model = PerceptualNet()
-    params = model.init(jax.random.PRNGKey(1234), jnp.zeros((1, 64, 64, 3)))
+    import os
+
+    from elvis_tpu.models.io import default_checkpoint_dir
+
+    ckpt = os.path.join(default_checkpoint_dir(), "perceptual")
+    if os.path.isdir(ckpt):
+        from elvis_tpu.models.io import load_params as _load_ckpt
+
+        return model, _load_ckpt(model, ckpt, jnp.zeros((1, 64, 64, 3)))
+    params = jax.jit(model.init)(jax.random.PRNGKey(1234), jnp.zeros((1, 64, 64, 3)))
     return model, params
+
+
+def lpips_pairwise(model: PerceptualNet, params, ref: jnp.ndarray, dec: jnp.ndarray):
+    """Differentiable LPIPS formula for a given backbone — the training
+    objective surface (unit-normalized per-layer feature L2, layer mean)."""
+    r = ref.astype(jnp.float32) / 127.5 - 1.0
+    d = dec.astype(jnp.float32) / 127.5 - 1.0
+    fr = model.apply(params, r)
+    fd = model.apply(params, d)
+    dists = []
+    for a, b in zip(fr, fd):
+        diff = (_unit_normalize(a) - _unit_normalize(b)) ** 2
+        dists.append(diff.mean(axis=(1, 2, 3)))
+    return jnp.stack(dists, axis=0).mean(axis=0)
 
 
 _loaded_params: Optional[Any] = None
@@ -66,15 +89,7 @@ def _unit_normalize(f):
 @jax.jit
 def _lpips_impl(params, ref, dec):
     model, _ = _default_params_and_model()
-    r = ref.astype(jnp.float32) / 127.5 - 1.0
-    d = dec.astype(jnp.float32) / 127.5 - 1.0
-    fr = model.apply(params, r)
-    fd = model.apply(params, d)
-    dists = []
-    for a, b in zip(fr, fd):
-        diff = (_unit_normalize(a) - _unit_normalize(b)) ** 2
-        dists.append(diff.mean(axis=(1, 2, 3)))
-    return jnp.stack(dists, axis=0).mean(axis=0)
+    return lpips_pairwise(model, params, ref, dec)
 
 
 def lpips_distance(ref: jnp.ndarray, dec: jnp.ndarray) -> jnp.ndarray:

@@ -35,7 +35,8 @@ def _mesh():
 
 
 def _train_sr(model, tag: str, steps: int, ckpt_dir: str, lr: float, batch: int,
-              patch: int, log_every: int, block_size: int):
+              patch: int, log_every: int, block_size: int,
+              natural_fraction: float = 0.75):
     """Train a 2x upsampler THROUGH the progressive restoration loop.
 
     Per-stage SR training does not compose: the deployed model runs
@@ -66,9 +67,9 @@ def _train_sr(model, tag: str, steps: int, ckpt_dir: str, lr: float, batch: int,
     @jax.jit
     def make_batch(rng):
         k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
-        # 3:1 natural-statistics to legacy band-limited content
+        # natural-statistics vs legacy band-limited content mix
         clean = jnp.where(
-            jax.random.bernoulli(k4, 0.75, (batch, 1, 1, 1)),
+            jax.random.bernoulli(k4, natural_fraction, (batch, 1, 1, 1)),
             natural_frames(k1, batch, patch, patch),
             synthetic_frames(k5, batch, patch, patch),
         )
@@ -255,6 +256,73 @@ def train_diffusion(steps: int, ckpt_dir: str, lr: float = 2e-4, batch: int = 16
     return trainer
 
 
+def train_perceptual(steps: int, ckpt_dir: str, lr: float = 1e-4, batch: int = 12,
+                     patch: int = 64, log_every: int = 50):
+    """LPIPS-style 2AFC ranking training for the PerceptualNet backbone
+    (the reference uses pretrained-AlexNet LPIPS, elvis.py:3163; with zero
+    egress the backbone is trained here): for a clean image and two
+    degradation strengths t1 < t2 along a random distortion path
+    (blur / downsample / noise / codec artifacts), the metric must rank
+    d(clean, weak) < d(clean, strong) — a margin hinge on the LPIPS
+    formula itself, so the learned features are monotone in perceived
+    distortion across families."""
+    import jax
+    import jax.numpy as jnp
+
+    from elvis_tpu.metrics.perceptual import PerceptualNet, lpips_pairwise
+    from elvis_tpu.ops.filter import gaussian_blur
+    from elvis_tpu.ops.resize import resize
+    from elvis_tpu.train import Trainer
+    from elvis_tpu.train.data import codec_noise, natural_frames
+
+    model = PerceptualNet()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, patch, patch, 3)))
+
+    def heavy_endpoints(rng, clean):
+        """Per-family maximal distortions (the t=1 path endpoints)."""
+        k1, _ = jax.random.split(rng)
+        blur = gaussian_blur(gaussian_blur(clean, 5, 2.0), 5, 2.0)
+        down = resize(resize(clean, (patch // 4, patch // 4), method="area"),
+                      (patch, patch), method="linear")
+        noise = jnp.clip(clean + 40.0 * jax.random.normal(k1, clean.shape), 0, 255)
+        codec = codec_noise(k1, clean)
+        return jnp.stack([blur, down, noise, codec])  # (4,B,H,W,3)
+
+    @jax.jit
+    def make_batch(rng):
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        clean = natural_frames(k1, batch, patch, patch)
+        ends = heavy_endpoints(k2, clean)  # (4,B,...)
+        fam = jax.random.randint(k3, (batch,), 0, ends.shape[0])
+        end = ends[fam, jnp.arange(batch)]  # (B,H,W,3)
+        t1 = jax.random.uniform(k4, (batch, 1, 1, 1), minval=0.05, maxval=0.55)
+        t2 = t1 + jax.random.uniform(k4, (batch, 1, 1, 1), minval=0.25, maxval=0.45)
+        weak = (1 - t1) * clean + t1 * end
+        strong = (1 - t2) * clean + t2 * end
+        return clean, weak, strong
+
+    def loss_fn(p, data, rng):
+        clean, weak, strong = data
+        d_weak = lpips_pairwise(model, p, clean, weak)
+        d_strong = lpips_pairwise(model, p, clean, strong)
+        margin = 0.05
+        rank = jnp.maximum(0.0, margin + d_weak - d_strong).mean()
+        # keep the metric anchored: identical inputs must score ~0
+        anchor = lpips_pairwise(model, p, clean, clean).mean()
+        return rank + anchor
+
+    trainer = Trainer(loss_fn, params, mesh=_mesh(), learning_rate=lr, ckpt_dir=ckpt_dir)
+    rng = jax.random.PRNGKey(1)
+    t0 = time.time()
+    for step in range(steps):
+        rng, k1, k2 = jax.random.split(rng, 3)
+        loss = trainer.step(make_batch(k1), k2)
+        if step % log_every == 0 or step == steps - 1:
+            print(f"perceptual step {step}: loss {loss:.6f} ({time.time()-t0:.0f}s)", flush=True)
+    trainer.save("perceptual")
+    return trainer
+
+
 def train_saliency(steps: int, ckpt_dir: str, lr: float = 1e-3, frames: int = 8, patch: int = 64,
                    log_every: int = 50):
     """Distill the motion-contrast heuristic into the net (a bootstrap
@@ -298,6 +366,7 @@ _TRAINERS = {
     "deblur": train_deblur,
     "diffusion": train_diffusion,
     "inpaint": train_inpaint,
+    "perceptual": train_perceptual,
     "saliency": train_saliency,
 }
 
