@@ -120,7 +120,10 @@ class ElvisConfig:
     deblur_params_path: Optional[str] = None
     inpaint_params_path: Optional[str] = None
     enable_dct_dampen: bool = False
-    stage_cache: bool = False
+    # Stage-level resume (reference reuses existing artifacts by default,
+    # elvis.py:3895-3906): scoring + every encode branch content-addressed
+    # under <experiment_dir>/stage_cache.
+    stage_cache: bool = True
     enable_vmaf: bool = True
     masks_dir: Optional[str] = None  # external FG masks (DAVIS-style PNG dir)
     profile_dir: Optional[str] = None  # jax.profiler trace output

@@ -14,17 +14,18 @@ boundaries (SURVEY.md §1 'data flows through the filesystem'), here the
 clip is ONE device-resident tensor; the only host work is entropy coding
 (NVC) and JSON. Approach slots are filled by this framework's backends:
 
-  label (reference)      slot                       backend here
-  ------------------------------------------------------------------
-  Baseline               plain encode               NVC (or x265/...)
-  PRESLEY QP             per-block delta-QP ROI     NVC native QP map
+  label (reference)      slot                       backend here (config-driven)
+  --------------------------------------------------------------------------
+  Baseline               plain encode               codec.dispatch (nvc/x265/...)
+  PRESLEY QP             per-block delta-QP ROI     native QP map / qpfile / ROI file
   ELVIS CV2              classical inpaint          PDE diffusion fill
-  ELVIS ProPainter       video inpaint (flow)       temporal propagation
-  ELVIS E2FGVI           video inpaint (neural)     InpaintNet
-  PRESLEY RealESRGAN     neural progressive SR      SRNet / lanczos 2x
-  PRESLEY InstantIR      neural deblur              DeblurUNet
+  ELVIS ProPainter       video inpaint (flow)       MOTION-COMPENSATED propagation
+  ELVIS E2FGVI           video inpaint (neural)     trained InpaintNet over MC seed
+  PRESLEY RealESRGAN     neural progressive SR      trained SRNetCompact (auto-load)
+  PRESLEY InstantIR      neural deblur              trained DeblurUNet (auto-load)
   PRESLEY Lanczos        classical SR benchmark     per-block lanczos
   PRESLEY Unsharp        classical deblur benchmark unsharp mask
+  (+ extra rows per sr_backends/deblur_backends/inpaint_backends entries)
 """
 
 from __future__ import annotations
@@ -258,23 +259,43 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
     decoded: Dict[str, np.ndarray] = {}
     sidecar_sizes: Dict[str, int] = {}
 
+    # Stage-level resume (SURVEY.md §5.4; the reference reuses existing
+    # artifacts, elvis.py:3895-3906): every encode branch is content-
+    # addressed on (config, input frames); re-running a config skips
+    # completed encodes. Scoring is cached the same way above.
+    _branch_key = [config.to_dict(), frames_np]
+
     # --- stage 2: baseline encode (elvis.py:4364-4381) ---------------------
     t0 = time.time()
-    streams["baseline"] = codec.encode(frames_np, **enc_kw)
-    decoded[APPROACHES.BASELINE] = codec.decode(streams["baseline"])
+
+    def _baseline():
+        s = codec.encode(frames_np, **enc_kw)
+        return {"stream": s, "decoded": codec.decode(s)}
+
+    r = cache.get_or_run("baseline_encode", _branch_key, _baseline)
+    streams["baseline"] = r["stream"]
+    decoded[APPROACHES.BASELINE] = r["decoded"]
     dt = time.time() - t0
     execution_times["Baseline Encoding"] = dt
     approach_times[APPROACHES.BASELINE] += dt
 
     # --- stage 3: ELVIS shrink (elvis.py:4389-4418) -------------------------
     t0 = time.time()
-    shrunk, removal_mask = apply_selective_removal(
-        frames, scores, b, config.shrink_amount
-    )
+
+    def _shrink():
+        shrunk, removal_mask = apply_selective_removal(
+            frames, scores, b, config.shrink_amount
+        )
+        s = codec.encode(np.asarray(shrunk), **enc_kw)
+        return {"stream": s, "decoded": codec.decode(s),
+                "removal_mask": np.asarray(removal_mask)}
+
+    r = cache.get_or_run("shrink_encode", _branch_key, _shrink)
+    streams["shrunk"] = r["stream"]
+    shrunk_decoded = r["decoded"]
+    removal_mask = jnp.asarray(r["removal_mask"])
     masks_npz = os.path.join(experiment_dir, f"shrink_masks_{b}.npz")
     save_removal_masks_npz(np.asarray(removal_mask), masks_npz)
-    streams["shrunk"] = codec.encode(np.asarray(shrunk), **enc_kw)
-    shrunk_decoded = codec.decode(streams["shrunk"])
     dt = time.time() - t0
     execution_times["ELVIS Shrinking"] = dt
     approach_times[APPROACHES.ELVIS] += dt
@@ -285,18 +306,21 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
     # removability scores (elvis.py:2013-2139); kvazaar/SVT-AV1 write
     # their binary/text ROI files from importance (utils.py:1026/1056).
     t0 = time.time()
-    streams["roi"] = codec.encode_roi(
-        frames_np, removability=np.asarray(scores), importance=importance,
-        block_size=b, roi_qp_range=config.roi_qp_range, **enc_kw,
-    )
-    decoded[APPROACHES.PRESLEY_QP] = codec.decode(streams["roi"])
+
+    def _roi():
+        s = codec.encode_roi(
+            frames_np, removability=np.asarray(scores), importance=importance,
+            block_size=b, roi_qp_range=config.roi_qp_range, **enc_kw,
+        )
+        return {"stream": s, "decoded": codec.decode(s)}
+
+    r = cache.get_or_run("roi_encode", _branch_key, _roi)
+    streams["roi"] = r["stream"]
+    decoded[APPROACHES.PRESLEY_QP] = r["decoded"]
     dt = time.time() - t0
     execution_times["Adaptive QP Encoding"] = dt
     approach_times[APPROACHES.PRESLEY_QP] += dt
 
-    # --- stage 5: downsample branch (elvis.py:4462-4486) --------------------
-    t0 = time.time()
-    down_frames, down_levels = adaptive_downsample(frames, scores, b)
     # Strength-map sidecar format: npz (lossless) or the reference's video
     # sidecar at strength_maps_target_bitrate (elvis.py:2198-2245 / 4837).
     def _save_maps(levels, name):
@@ -314,21 +338,38 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
             return jnp.asarray(np.load(path)["strength_maps"].astype(np.int32))
         return jnp.asarray(load_strength_maps_video(path).astype(np.int32))
 
-    streams["downsampled"] = codec.encode(np.asarray(down_frames), **enc_kw)
-    down_maps_path, sidecar_sizes["downsample"] = _save_maps(down_levels, "downsample")
-    down_decoded = codec.decode(streams["downsampled"])
+    # --- stage 5: downsample branch (elvis.py:4462-4486) --------------------
+    t0 = time.time()
+
+    def _downsample():
+        down_frames, down_levels = adaptive_downsample(frames, scores, b)
+        s = codec.encode(np.asarray(down_frames), **enc_kw)
+        return {"stream": s, "decoded": codec.decode(s),
+                "levels": np.asarray(down_levels)}
+
+    r = cache.get_or_run("downsample_encode", _branch_key, _downsample)
+    streams["downsampled"] = r["stream"]
+    down_decoded = r["decoded"]
+    down_maps_path, sidecar_sizes["downsample"] = _save_maps(r["levels"], "downsample")
     dt = time.time() - t0
     execution_times["Downsampled Encoding"] = dt
     approach_times[APPROACHES.PRESLEY_REALESRGAN] += dt
 
     # --- stage 6: blur branch (elvis.py:4501-4525) ---------------------------
     t0 = time.time()
-    blur_frames, blur_levels = adaptive_blur(
-        frames, scores, b, config.gaussian_max_rounds
-    )
-    streams["gaussian"] = codec.encode(np.asarray(blur_frames), **enc_kw)
-    blur_maps_path, sidecar_sizes["gaussian"] = _save_maps(blur_levels, "gaussian")
-    blur_decoded = codec.decode(streams["gaussian"])
+
+    def _gaussian():
+        blur_frames, blur_levels = adaptive_blur(
+            frames, scores, b, config.gaussian_max_rounds
+        )
+        s = codec.encode(np.asarray(blur_frames), **enc_kw)
+        return {"stream": s, "decoded": codec.decode(s),
+                "levels": np.asarray(blur_levels)}
+
+    r = cache.get_or_run("gaussian_encode", _branch_key, _gaussian)
+    streams["gaussian"] = r["stream"]
+    blur_decoded = r["decoded"]
+    blur_maps_path, sidecar_sizes["gaussian"] = _save_maps(r["levels"], "gaussian")
     dt = time.time() - t0
     execution_times["Gaussian Encoding"] = dt
     approach_times[APPROACHES.PRESLEY_INSTANTIR] += dt
@@ -340,10 +381,17 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         from elvis_tpu.restore import restore_dct_dampen_inverse
 
         t0 = time.time()
-        damp_frames, damp_levels = dct_dampen(frames, scores, b)
-        streams["dampened"] = codec.encode(np.asarray(damp_frames), **enc_kw)
-        damp_maps_path, sidecar_sizes["dampen"] = _save_maps(damp_levels, "dampen")
-        damp_decoded = codec.decode(streams["dampened"])
+
+        def _dampen():
+            damp_frames, damp_levels = dct_dampen(frames, scores, b)
+            s = codec.encode(np.asarray(damp_frames), **enc_kw)
+            return {"stream": s, "decoded": codec.decode(s),
+                    "levels": np.asarray(damp_levels)}
+
+        r = cache.get_or_run("dampen_encode", _branch_key, _dampen)
+        streams["dampened"] = r["stream"]
+        damp_decoded = r["decoded"]
+        damp_maps_path, sidecar_sizes["dampen"] = _save_maps(r["levels"], "dampen")
         damp_levels_dec = _load_maps(damp_maps_path)
         decoded[APPROACHES.ELVIS_V2_DAMPEN] = np.asarray(
             restore_dct_dampen_inverse(jnp.asarray(damp_decoded), damp_levels_dec, b)

@@ -182,3 +182,55 @@ class TestFvmdIncremental:
         assert np.isfinite(v)
         v_nan, s_nan = fvmd_incremental(clip, clip, max_frames=2)
         assert np.isnan(v_nan) and np.isnan(s_nan)  # too few frames
+
+
+class TestTrainedLpips:
+    def test_trained_backbone_ranks_distortion_ladders(self, rng):
+        """With the shipped 2AFC-trained backbone, lpips must rank
+        stronger distortions farther (>= 0.9 pairwise accuracy) on
+        held-out dead-leaves content across blur/down/noise families,
+        and score identical inputs ~0."""
+        import os
+
+        import jax
+        import jax.numpy as jnp
+
+        from elvis_tpu.metrics.perceptual import (
+            PerceptualNet,
+            lpips_distance,
+            lpips_pairwise,
+        )
+        from elvis_tpu.models.io import default_checkpoint_dir, load_params
+        from elvis_tpu.ops.filter import gaussian_blur
+        from elvis_tpu.ops.resize import resize
+        from elvis_tpu.train.data import dead_leaves
+
+        ckpt = os.path.join(default_checkpoint_dir(), "perceptual")
+        if not os.path.isdir(ckpt):
+            pytest.skip("no trained perceptual checkpoint")
+        model = PerceptualNet()
+        params = load_params(model, ckpt, jnp.zeros((1, 64, 64, 3)))
+
+        clean = dead_leaves(jax.random.PRNGKey(4242), 8, 64, 64)
+        blur = gaussian_blur(clean, 5, 1.5)
+        down = resize(resize(clean, (16, 16), method="area"), (64, 64), method="linear")
+        noise = jnp.clip(
+            clean + 30.0 * jax.random.normal(jax.random.PRNGKey(9), clean.shape), 0, 255
+        )
+        levels = (0.25, 0.5, 0.75)
+        correct = total = 0
+        for path in (blur, down, noise):
+            dists = [
+                np.asarray(lpips_pairwise(model, params, clean, (1 - t) * clean + t * path))
+                for t in levels
+            ]
+            for i in range(len(levels)):
+                for j in range(i + 1, len(levels)):
+                    correct += int((dists[j] > dists[i]).sum())
+                    total += dists[i].size
+        assert correct / total >= 0.9, correct / total
+        anchor = np.asarray(lpips_pairwise(model, params, clean, clean))
+        assert anchor.max() < 1e-3
+        # the module-level metric auto-loads the same checkpoint
+        d = np.asarray(lpips_distance(clean, blur))
+        assert (d > 0).all()

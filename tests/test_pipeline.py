@@ -315,3 +315,38 @@ class TestMetricParityKnobs:
         assert not (maps_dir / "downsample_maps.npz").exists()
         fg = results[APPROACHES.PRESLEY_REALESRGAN]["foreground"]
         assert np.isfinite(fg["fvmd"]) and np.isfinite(fg["fvmd_std"])
+
+
+@pytest.mark.slow
+class TestStageResume:
+    def test_second_run_resumes_encodes(self, tmp_path):
+        """Re-running the same config in the same experiment_dir skips
+        scoring + every encode branch (the reference's artifact-reuse
+        behavior, elvis.py:3895-3906, as explicit content-addressed
+        resume)."""
+        import time as _time
+
+        config = ElvisConfig(
+            reference_video="synthetic://moving?frames=6&fps=24",
+            width=64, height=48, block_size=8,
+            experiment_dir=str(tmp_path / "exp"),
+            enable_fvmd=False, enable_vmaf=False,
+            generate_opencv_benchmarks=False,
+            target_bitrate_override=100_000,
+        )
+        r1 = run_elvis(config)
+        t0 = _time.time()
+        r2 = run_elvis(config)
+        resumed_wall = _time.time() - t0
+        # identical results from the cache
+        for label in (APPROACHES.BASELINE, APPROACHES.PRESLEY_QP):
+            assert (r1[label]["foreground"]["psnr_mean"]
+                    == r2[label]["foreground"]["psnr_mean"])
+        # the encode stages were served from cache: much faster
+        enc_keys = ["Baseline Encoding", "ELVIS Shrinking", "Adaptive QP Encoding",
+                    "Downsampled Encoding", "Gaussian Encoding"]
+        first = sum(r1["execution_times_seconds"][k] for k in enc_keys)
+        second = sum(r2["execution_times_seconds"][k] for k in enc_keys)
+        assert second < 0.5 * first, (first, second, resumed_wall)
+        cache_files = list((tmp_path / "exp" / "stage_cache").glob("*.npz"))
+        assert len(cache_files) >= 6  # scoring + 5 encode branches
