@@ -83,13 +83,14 @@ class PipelineCodec:
 class NvcPipelineCodec(PipelineCodec):
     name = "nvc"
 
-    def __init__(self):
+    def __init__(self, *, b_frames: bool = False, me_radius: int = 4):
         self._codec = NvcCodec()
+        self._kw = dict(b_frames=b_frames, me_radius=me_radius)
 
     def encode(self, frames, *, target_bitrate, framerate, gop):
         return self._codec.encode(
             np.asarray(frames), target_bitrate=target_bitrate,
-            framerate=framerate, gop=gop,
+            framerate=framerate, gop=gop, **self._kw,
         )
 
     def encode_roi(self, frames, *, removability, importance, block_size,
@@ -103,7 +104,7 @@ class NvcPipelineCodec(PipelineCodec):
         dqp = np.clip(np.round(dqp_f), -14, 14).astype(np.int8)
         return self._codec.encode(
             np.asarray(frames), target_bitrate=target_bitrate,
-            framerate=framerate, roi_delta_qp=dqp, gop=gop,
+            framerate=framerate, roi_delta_qp=dqp, gop=gop, **self._kw,
         )
 
     def decode(self, stream):
@@ -243,10 +244,12 @@ class SvtAv1PipelineCodec(_ExternalBase):
 def make_pipeline_codec(
     codec: str, workdir: str, width: int, height: int,
     *, preset: str = "medium", pix_fmt: str = "yuv420p",
-    quality: str = "medium",
+    quality: str = "medium", nvc_b_frames: bool = False,
+    nvc_me_radius: int = 4,
 ) -> PipelineCodec:
     codecs: Dict[str, callable] = {
-        "nvc": lambda: NvcPipelineCodec(),
+        "nvc": lambda: NvcPipelineCodec(b_frames=nvc_b_frames,
+                                        me_radius=nvc_me_radius),
         "x265": lambda: X265PipelineCodec(workdir, width, height, preset, pix_fmt),
         "kvazaar": lambda: KvazaarPipelineCodec(workdir, width, height, quality),
         "svtav1": lambda: SvtAv1PipelineCodec(workdir, width, height, quality),

@@ -35,7 +35,9 @@ from elvis_tpu.codec.nvc import entropy
 from elvis_tpu.codec.nvc.transform import (
     BLOCK,
     decode_plane,
+    decode_plane_b,
     encode_plane,
+    encode_plane_b,
     zigzag_order,
 )
 from elvis_tpu.ops.color import rgb_to_yuv420, yuv420_to_rgb
@@ -96,17 +98,28 @@ def _chroma_qp(luma_qp: np.ndarray) -> np.ndarray:
     return np.clip(np.round(q), 0, 51).astype(np.int32)
 
 
-_decode_plane_jit = jax.jit(decode_plane, static_argnums=(4, 5))
+_decode_plane_jit = jax.jit(decode_plane, static_argnums=(4, 5, 6))
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
-def _encode_planes_jit(y, cb, cr, qp_y, qp_c, gop, me_radius, me_step, me_halfpel):
+def _reach_of(mvs: np.ndarray) -> int:
+    """Prediction-neighbourhood radius (in blocks) covering a stream's
+    stored half-pel vectors: ceil(max|mv2| / (2*BLOCK))."""
+    m = int(np.abs(mvs).max()) if mvs.size else 0
+    return max(1, -(-m // (2 * BLOCK)))
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10))
+def _encode_planes_jit(y, cb, cr, qp_y, qp_c, gop, me_radius, me_step, me_halfpel,
+                       b_frames=False, b_qp_offset=2):
+    enc = encode_plane_b if b_frames else encode_plane
     kw = dict(gop=gop, me_radius=me_radius, me_step=me_step, me_halfpel=me_halfpel)
-    ly, my, vy, _ = encode_plane(y, qp_y, **kw)
+    if b_frames:
+        kw["b_qp_offset"] = b_qp_offset
+    ly, my, vy, _ = enc(y, qp_y, **kw)
     # chroma at half resolution: half the search radius
     ckw = dict(kw, me_radius=max(me_radius // 2, 0))
-    lcb, mcb, vcb, _ = encode_plane(cb, qp_c, **ckw)
-    lcr, mcr, vcr, _ = encode_plane(cr, qp_c, **ckw)
+    lcb, mcb, vcb, _ = enc(cb, qp_c, **ckw)
+    lcr, mcr, vcr, _ = enc(cr, qp_c, **ckw)
     return ly, my, vy, lcb, mcb, vcb, lcr, mcr, vcr
 
 
@@ -130,6 +143,8 @@ def encode(
     me_radius: int = 4,
     me_step: int = 1,
     me_halfpel: bool = True,
+    b_frames: bool = False,
+    b_qp_offset: int = 2,
 ) -> bytes:
     """frames ``(N, H, W, 3)`` uint8 RGB -> NVC bitstream bytes."""
     frames = np.asarray(frames)
@@ -146,15 +161,16 @@ def encode(
         np.asarray,
         _encode_planes_jit(
             y, cb, cr, jnp.asarray(qp_y), jnp.asarray(qp_c),
-            int(gop), me_radius, me_step, me_halfpel,
+            int(gop), me_radius, me_step, me_halfpel, bool(b_frames),
+            int(b_qp_offset),
         ),
     )
     ly, lcb, lcr = (a.astype(np.int16) for a in (ly, lcb, lcr))
 
     zz = zigzag_order(BLOCK)
     header = _MAGIC + struct.pack(
-        "<BBHHHfbH",
-        2,  # version
+        "<BBHHHfbHB",
+        3,  # version (3 = b_frames byte present)
         1 if roi_delta_qp is not None else 0,
         orig_w,
         orig_h,
@@ -162,6 +178,8 @@ def encode(
         float(framerate),
         int(qp),
         int(gop),
+        # 0 = P-only; k>0 = B frames with b_qp_offset = k-1
+        (1 + int(b_qp_offset)) if b_frames else 0,
     )
     parts = [header]
     if roi_delta_qp is not None:
@@ -171,8 +189,15 @@ def encode(
     for levels, modes, mvs in ((ly, my, vy), (lcb, mcb, vcb), (lcr, mcr, vcr)):
         bk_m, pl_m = entropy.encode_bytes(modes.astype(np.uint8))
         parts.append(_pack_section(bk_m, pl_m))
+        if b_frames:
+            # Backward vectors exist only on odd (B) frames — storing the
+            # even frames' all-zero bwd slots would double the motion
+            # overhead for nothing.
+            mvs = np.concatenate(
+                [mvs[:, :, :, 0, :].reshape(-1), mvs[1::2, :, :, 1, :].reshape(-1)]
+            )
         bk_v, pl_v = entropy.encode_bytes(
-            (mvs.astype(np.int16) + 128).astype(np.uint8)
+            (mvs.astype(np.int16).reshape(-1) + 128).astype(np.uint8)
         )
         parts.append(_pack_section(bk_v, pl_v))
         coeff_zz = levels.reshape(-1, BLOCK * BLOCK)[:, zz]
@@ -181,13 +206,29 @@ def encode(
     return b"".join(parts)
 
 
+def _read_header(stream: bytes):
+    """Parse a v2 or v3 header -> (version, has_roi, w, h, n, fps, qp,
+    gop, b_byte, payload_offset). ``b_byte``: 0 = P-only, k>0 = B frames
+    with b_qp_offset = k-1."""
+    assert stream[:4] == _MAGIC, "not an NVC stream"
+    if stream[4] >= 3:
+        fmt = "<BBHHHfbHB"
+        version, has_roi, w, h, n, fps, qp, gop, bfr = struct.unpack_from(fmt, stream, 4)
+    else:
+        fmt = "<BBHHHfbH"
+        version, has_roi, w, h, n, fps, qp, gop = struct.unpack_from(fmt, stream, 4)
+        bfr = 0
+    return version, has_roi, w, h, n, fps, qp, gop, int(bfr), 4 + struct.calcsize(fmt)
+
+
+_decode_plane_b_jit = jax.jit(decode_plane_b, static_argnums=(4, 5, 6, 7))
+
+
 def decode(stream: bytes) -> Tuple[np.ndarray, float]:
     """NVC bitstream -> (frames (N,H,W,3) uint8 RGB, framerate)."""
-    assert stream[:4] == _MAGIC, "not an NVC stream"
-    version, has_roi, orig_w, orig_h, n, fps, base_qp, gop = struct.unpack_from(
-        "<BBHHHfbH", stream, 4
+    version, has_roi, orig_w, orig_h, n, fps, base_qp, gop, bfr, off = _read_header(
+        stream
     )
-    off = 4 + struct.calcsize("<BBHHHfbH")
     buf = memoryview(stream)
 
     h = orig_h + ((-orig_h) % _PAD)
@@ -206,25 +247,40 @@ def decode(stream: bytes) -> Tuple[np.ndarray, float]:
     inv = np.empty_like(zz)
     inv[zz] = np.arange(zz.size)
 
+    nb = n // 2
     planes = []
     for by_, bx_ in ((by, bx), (cby, cbx), (cby, cbx)):
         bk_m, pl_m, off = _unpack_section(buf, off)
         modes = entropy.decode_bytes(bk_m, pl_m, n * by_ * bx_).reshape(n, by_, bx_)
         bk_v, pl_v, off = _unpack_section(buf, off)
-        mvs = (
-            entropy.decode_bytes(bk_v, pl_v, n * by_ * bx_ * 2).astype(np.int16) - 128
-        ).astype(np.int8).reshape(n, by_, bx_, 2)
+        n_mv = n * by_ * bx_ * 2 + (nb * by_ * bx_ * 2 if bfr else 0)
+        flat_mv = (
+            entropy.decode_bytes(bk_v, pl_v, n_mv).astype(np.int16) - 128
+        ).astype(np.int8)
+        if bfr:
+            fwd = flat_mv[: n * by_ * bx_ * 2].reshape(n, by_, bx_, 2)
+            bwd_odd = flat_mv[n * by_ * bx_ * 2 :].reshape(nb, by_, bx_, 2)
+            mvs = np.zeros((n, by_, bx_, 2, 2), np.int8)
+            mvs[:, :, :, 0, :] = fwd
+            mvs[1::2, :, :, 1, :] = bwd_odd
+        else:
+            mvs = flat_mv.reshape(n, by_, bx_, 2)
         bk_c, pl_c, off = _unpack_section(buf, off)
         flat = entropy.decode_coeffs(bk_c, pl_c, n * by_ * bx_ * BLOCK * BLOCK, BLOCK * BLOCK)
         levels = flat.reshape(-1, BLOCK * BLOCK)[:, inv].reshape(n, by_, bx_, BLOCK * BLOCK)
         planes.append((levels, modes.astype(np.int8), mvs))
 
     (ly, my, vy), (lcb, mcb, vcb), (lcr, mcr, vcr) = planes
+    if bfr:
+        boff = bfr - 1
+        dec = lambda *a: _decode_plane_b_jit(*a, boff)
+    else:
+        dec = _decode_plane_jit
     # host->device as float32 (int16 transfers are pathologically slow here)
     as_f32 = lambda a: jnp.asarray(a.astype(np.float32))
-    y = _decode_plane_jit(as_f32(ly), jnp.asarray(my), jnp.asarray(vy), jnp.asarray(qp_y), h, w)
-    cb = _decode_plane_jit(as_f32(lcb), jnp.asarray(mcb), jnp.asarray(vcb), jnp.asarray(qp_c), h // 2, w // 2)
-    cr = _decode_plane_jit(as_f32(lcr), jnp.asarray(mcr), jnp.asarray(vcr), jnp.asarray(qp_c), h // 2, w // 2)
+    y = dec(as_f32(ly), jnp.asarray(my), jnp.asarray(vy), jnp.asarray(qp_y), h, w, _reach_of(vy))
+    cb = dec(as_f32(lcb), jnp.asarray(mcb), jnp.asarray(vcb), jnp.asarray(qp_c), h // 2, w // 2, _reach_of(vcb))
+    cr = dec(as_f32(lcr), jnp.asarray(mcr), jnp.asarray(vcr), jnp.asarray(qp_c), h // 2, w // 2, _reach_of(vcr))
     rgb = yuv420_to_rgb(y, cb, cr)
     rgb = jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
     return np.asarray(rgb[:, :orig_h, :orig_w]), float(fps)
@@ -234,9 +290,7 @@ def luma_modes(stream: bytes) -> np.ndarray:
     """Tooling/tests: per-block luma prediction modes ``(N, By, Bx)`` int8
     (MODE_INTRA=0 / MODE_INTER=1) parsed from a container stream — lets
     container-level tests assert GOP periodic-intra behaviour."""
-    assert stream[:4] == _MAGIC, "not an NVC stream"
-    _, has_roi, orig_w, orig_h, n, _, _, _ = struct.unpack_from("<BBHHHfbH", stream, 4)
-    off = 4 + struct.calcsize("<BBHHHfbH")
+    _, has_roi, orig_w, orig_h, n, _, _, _, _, off = _read_header(stream)
     buf = memoryview(stream)
     h = orig_h + ((-orig_h) % _PAD)
     w = orig_w + ((-orig_w) % _PAD)
@@ -255,8 +309,8 @@ class NvcCodec:
     name = "nvc"
 
     def probe(self, stream: bytes) -> NvcStream:
-        version, has_roi, orig_w, orig_h, n, fps, base_qp, gop = struct.unpack_from(
-            "<BBHHHfbH", stream, 4
+        version, has_roi, orig_w, orig_h, n, fps, base_qp, gop, _, _ = _read_header(
+            stream
         )
         return NvcStream(orig_w, orig_h, n, fps, base_qp, bool(has_roi), len(stream))
 
@@ -272,11 +326,14 @@ class NvcCodec:
         me_radius: int = 4,
         me_step: int = 1,
         me_halfpel: bool = True,
+        b_frames: bool = False,
+        b_qp_offset: int = 2,
     ) -> bytes:
         if (qp is None) == (target_bitrate is None):
             raise ValueError("specify exactly one of qp / target_bitrate")
         kw = dict(framerate=framerate, roi_delta_qp=roi_delta_qp, gop=gop,
-                  me_radius=me_radius, me_step=me_step, me_halfpel=me_halfpel)
+                  me_radius=me_radius, me_step=me_step, me_halfpel=me_halfpel,
+                  b_frames=b_frames, b_qp_offset=b_qp_offset)
         if qp is not None:
             return encode(frames, qp=qp, **kw)
 

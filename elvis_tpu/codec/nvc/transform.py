@@ -31,13 +31,19 @@ __all__ = [
     "zigzag_order",
     "encode_plane",
     "decode_plane",
+    "encode_plane_b",
+    "decode_plane_b",
     "MODE_INTRA",
     "MODE_INTER",
+    "MODE_INTER_BWD",
+    "MODE_INTER_BI",
 ]
 
 BLOCK = 8
 MODE_INTRA = 0
-MODE_INTER = 1
+MODE_INTER = 1  # forward (previous-reference) prediction
+MODE_INTER_BWD = 2  # backward (next-reference) prediction — B frames only
+MODE_INTER_BI = 3  # bidirectional average — B frames only
 
 
 def qstep_from_qp(qp: jnp.ndarray) -> jnp.ndarray:
@@ -103,24 +109,26 @@ def _motion_search(prev_recon: jnp.ndarray, cur_blocks: jnp.ndarray, radius: int
     return table[best]
 
 
-_MV2_RANGE = 16  # max |half-pel| component representable in the tables
+@functools.lru_cache(maxsize=8)
+def _mc_selection_table(b: int = BLOCK, reach: int = 1) -> np.ndarray:
+    """(2*R2+1, b, window) selection/averaging matrices, R2 = 2*reach*b.
 
-
-@functools.lru_cache(maxsize=4)
-def _mc_selection_table(b: int = BLOCK, window: int = 3 * BLOCK) -> np.ndarray:
-    """(2*_MV2_RANGE+1, b, window) selection/averaging matrices.
-
-    Entry for half-pel component m maps a length-``window`` neighbourhood
-    row (centred so index b corresponds to the block's own first pel) to
-    the b output pels at offset m/2: a single 1 for even m, two 0.5 taps
-    for odd m (bilinear half-pel).
+    ``reach`` is the prediction neighbourhood radius in BLOCKS: the
+    window spans (2*reach+1) blocks and represents half-pel motion
+    components up to |m| = 2*reach*b. Entry for half-pel component m maps
+    a length-``window`` neighbourhood row (centred so index reach*b
+    corresponds to the block's own first pel) to the b output pels at
+    offset m/2: a single 1 for even m, two 0.5 taps for odd m (bilinear
+    half-pel).
     """
-    table = np.zeros((2 * _MV2_RANGE + 1, b, window), dtype=np.float64)
-    for mi, m in enumerate(range(-_MV2_RANGE, _MV2_RANGE + 1)):
+    window = (2 * reach + 1) * b
+    r2 = 2 * reach * b
+    table = np.zeros((2 * r2 + 1, b, window), dtype=np.float64)
+    for mi, m in enumerate(range(-r2, r2 + 1)):
         base = m // 2  # floor division (matches py//2 semantics)
         frac = m - 2 * base  # 0 or 1
         for u in range(b):
-            p0 = min(max(b + u + base, 0), window - 1)
+            p0 = min(max(reach * b + u + base, 0), window - 1)
             if frac == 0:
                 table[mi, u, p0] = 1.0
             else:
@@ -130,21 +138,10 @@ def _mc_selection_table(b: int = BLOCK, window: int = 3 * BLOCK) -> np.ndarray:
     return table
 
 
-def _motion_predict(prev_recon: jnp.ndarray, mv2: jnp.ndarray) -> jnp.ndarray:
-    """Per-block motion-compensated prediction at HALF-PEL resolution.
-
-    prev_recon ``(H, W)``, mv2 ``(By, Bx, 2)`` in half-pel units -> pred
-    blocks ``(By, Bx, b, b)``.
-
-    Formulation: each block reads from its 3x3-block neighbourhood
-    ``(24, 24)`` through two gathered ``(8, 24)`` selection matrices
-    (``pred = R[mv_y] @ NB @ R[mv_x].T``), the apply_block_matrix pattern —
-    batched MXU smalls instead of an XLA 4D gather, which measured ~120
-    ms/frame at 1080p (this path: ~100x cheaper). Out-of-frame motion
-    clamps at BLOCK granularity (edge blocks replicate); encoder and
-    decoder share this function exactly, so there is no drift.
-    """
-    b = BLOCK
+def _neighbourhood(prev_recon: jnp.ndarray, reach: int = 1) -> jnp.ndarray:
+    """(By, Bx, W, W) block neighbourhoods, W = (2*reach+1)*BLOCK: each
+    block's surrounding (2*reach+1)^2 block window, edge blocks
+    replicated (out-of-frame motion clamps at BLOCK granularity)."""
     blocks = _blocks_of(prev_recon)  # (By,Bx,b,b)
 
     def clamp_shift(x, d, axis):
@@ -163,55 +160,91 @@ def _motion_predict(prev_recon: jnp.ndarray, mv2: jnp.ndarray) -> jnp.ndarray:
         pad = [x[tuple(edge)]] * (-d)
         return jnp.concatenate(pad + [x[tuple(sl)]], axis=axis)
 
-    # NB (By,Bx,24,24): the 3x3 block neighbourhood, edge blocks replicated
+    span = range(-reach, reach + 1)
     rows = []
-    for di in (-1, 0, 1):
-        cols = []
-        for dj in (-1, 0, 1):
-            cols.append(clamp_shift(clamp_shift(blocks, di, 0), dj, 1))
-        rows.append(jnp.concatenate(cols, axis=-1))  # (By,Bx,b,3b)
-    nb = jnp.concatenate(rows, axis=-2)  # (By,Bx,3b,3b)
+    for di in span:
+        cols = [clamp_shift(clamp_shift(blocks, di, 0), dj, 1) for dj in span]
+        rows.append(jnp.concatenate(cols, axis=-1))  # (By,Bx,b,(2r+1)b)
+    return jnp.concatenate(rows, axis=-2)  # (By,Bx,W,W)
 
-    table = jnp.asarray(_mc_selection_table(b), dtype=jnp.float32)
-    my = jnp.clip(mv2[..., 0], -_MV2_RANGE, _MV2_RANGE) + _MV2_RANGE
-    mx = jnp.clip(mv2[..., 1], -_MV2_RANGE, _MV2_RANGE) + _MV2_RANGE
-    ry = table[my]  # (By,Bx,b,3b)
+
+def _predict_from_nb(nb: jnp.ndarray, mv2: jnp.ndarray, reach: int = 1) -> jnp.ndarray:
+    """MC prediction from a prebuilt neighbourhood (shared across the
+    refinement candidates so the (2*reach+1)^2-copy NB is built once)."""
+    r2 = 2 * reach * BLOCK
+    table = jnp.asarray(_mc_selection_table(BLOCK, reach), dtype=jnp.float32)
+    my = jnp.clip(mv2[..., 0], -r2, r2) + r2
+    mx = jnp.clip(mv2[..., 1], -r2, r2) + r2
+    ry = table[my]  # (By,Bx,b,W)
     rx = table[mx]
     y = jnp.einsum("...uw,...wv->...uv", ry, nb, precision=jax.lax.Precision.HIGHEST)
     return jnp.einsum("...qv,...uv->...uq", rx, y, precision=jax.lax.Precision.HIGHEST)
 
 
-def _integer_refine(
-    prev_recon: jnp.ndarray, cur_blocks: jnp.ndarray, mv_int: jnp.ndarray
+def _motion_predict(
+    prev_recon: jnp.ndarray, mv2: jnp.ndarray, reach: int = 1
 ) -> jnp.ndarray:
-    """+-1 full-pel refinement around a coarse integer vector (the second
-    stage of the coarse-to-fine search)."""
-    cands, sads = [], []
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            mv = mv_int + jnp.asarray([dy, dx], jnp.int32)
-            pred = _motion_predict(prev_recon, mv * 2)
-            sads.append(jnp.abs(cur_blocks - pred).sum(axis=(-2, -1)))
-            cands.append(mv)
-    best = jnp.argmin(jnp.stack(sads, axis=-1), axis=-1)
-    stacked = jnp.stack(cands, axis=0)
-    onehot = (jnp.arange(9)[:, None, None] == best[None]).astype(jnp.int32)[..., None]
-    return (stacked * onehot).sum(axis=0)
+    """Per-block motion-compensated prediction at HALF-PEL resolution.
+
+    prev_recon ``(H, W)``, mv2 ``(By, Bx, 2)`` in half-pel units -> pred
+    blocks ``(By, Bx, b, b)``.
+
+    Formulation: each block reads from its (2*reach+1)^2-block
+    neighbourhood through two gathered ``(8, W)`` selection matrices
+    (``pred = R[mv_y] @ NB @ R[mv_x].T``), the apply_block_matrix pattern —
+    batched MXU smalls instead of an XLA 4D gather, which measured ~120
+    ms/frame at 1080p (this path: ~100x cheaper). Out-of-frame motion
+    clamps at BLOCK granularity (edge blocks replicate). The prediction
+    for an in-range mv2 is identical for every reach that represents it,
+    so encoder and decoder only need |mv2| <= 2*reach*BLOCK each — no
+    drift (encode_plane clamps stored vectors to its own reach).
+    """
+    return _predict_from_nb(_neighbourhood(prev_recon, reach), mv2, reach)
+
+
+def _integer_refine(
+    prev_recon: jnp.ndarray,
+    cur_blocks: jnp.ndarray,
+    mv_int: jnp.ndarray,
+    reach: int = 1,
+    rounds: int = 1,
+) -> jnp.ndarray:
+    """``rounds`` greedy +-1 full-pel refinement steps around a coarse
+    integer vector (the fine stage of the coarse-to-fine search)."""
+    nb = _neighbourhood(prev_recon, reach)
+    mv = mv_int
+    for _ in range(rounds):
+        cands, sads = [], []
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                cand = mv + jnp.asarray([dy, dx], jnp.int32)
+                pred = _predict_from_nb(nb, cand * 2, reach)
+                sads.append(jnp.abs(cur_blocks - pred).sum(axis=(-2, -1)))
+                cands.append(cand)
+        best = jnp.argmin(jnp.stack(sads, axis=-1), axis=-1)
+        stacked = jnp.stack(cands, axis=0)
+        onehot = (jnp.arange(9)[:, None, None] == best[None]).astype(jnp.int32)[..., None]
+        mv = (stacked * onehot).sum(axis=0)
+    return mv
 
 
 def _halfpel_refine(
-    prev_recon: jnp.ndarray, cur_blocks: jnp.ndarray, mv_int: jnp.ndarray
+    prev_recon: jnp.ndarray,
+    cur_blocks: jnp.ndarray,
+    mv_int: jnp.ndarray,
+    reach: int = 1,
 ) -> jnp.ndarray:
     """Refine integer motion to half-pel: evaluate the 9 half-pel
     candidates around each block's integer vector, keep the SAD minimizer.
     Returns mv in half-pel units ``(By, Bx, 2)`` int32."""
+    nb = _neighbourhood(prev_recon, reach)
     base2 = mv_int * 2
     cands = []
     sads = []
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             mv2 = base2 + jnp.asarray([dy, dx], jnp.int32)
-            pred = _motion_predict(prev_recon, mv2)
+            pred = _predict_from_nb(nb, mv2, reach)
             sads.append(jnp.abs(cur_blocks - pred).sum(axis=(-2, -1)))
             cands.append(mv2)
     best = jnp.argmin(jnp.stack(sads, axis=-1), axis=-1)  # (By,Bx)
@@ -222,6 +255,79 @@ def _halfpel_refine(
     return (stacked * onehot).sum(axis=0)
 
 
+def _me_plan(me_radius: int):
+    """Static search plan for a given radius: (coarse_factor,
+    refine_rounds, reach). Radii <= 7 use the dense single-level search;
+    larger radii search a 2^k-area-downsampled frame (whole-frame shifts
+    stay cheap) and recover precision with greedy +-1 refinement."""
+    if me_radius <= 7:
+        return 1, 0, 1
+    factor = 2
+    while -(-me_radius // factor) > 5:
+        factor *= 2
+    rounds = min(3, factor // 2)
+    max_mv = factor * (-(-me_radius // factor)) + rounds + 1
+    reach = max(1, -(-max_mv // BLOCK))
+    return factor, rounds, reach
+
+
+def _coarse_motion(
+    prev_recon: jnp.ndarray, cur_plane: jnp.ndarray, radius: int, factor: int
+) -> jnp.ndarray:
+    """Full search on a ``factor``-x area-downsampled frame pair; returns
+    full-res per-block integer vectors (each coarse block's vector is
+    shared by its factor^2 children, scaled back up)."""
+    h, w = prev_recon.shape
+    ph = (-h) % (BLOCK * factor)
+    pw = (-w) % (BLOCK * factor)
+    if ph or pw:
+        prev_recon = jnp.pad(prev_recon, ((0, ph), (0, pw)), mode="edge")
+        cur_plane = jnp.pad(cur_plane, ((0, ph), (0, pw)), mode="edge")
+    hp, wp = h + ph, w + pw
+
+    def ds(x):
+        return x.reshape(hp // factor, factor, wp // factor, factor).mean(axis=(1, 3))
+
+    rc = -(-radius // factor)
+    mv_c = _motion_search(ds(prev_recon), _blocks_of(ds(cur_plane)), rc, 1)
+    mv = jnp.repeat(jnp.repeat(mv_c, factor, axis=0), factor, axis=1) * factor
+    return mv[: h // BLOCK, : w // BLOCK]
+
+
+def _search_mv(
+    recon_ref: jnp.ndarray,
+    blocks: jnp.ndarray,
+    me_radius: int,
+    me_step: int,
+    me_halfpel: bool,
+    factor: int,
+    rounds: int,
+    reach: int,
+) -> jnp.ndarray:
+    """Full ME pipeline against one reference: (coarse) search + integer
+    refinement + optional half-pel, clamped to the reach's representable
+    (and the container's int8) half-pel range."""
+    if factor == 1:
+        # Dense integer search via whole-frame shifts (cheap: ~0.7ms per
+        # candidate at 1080p).
+        mv_int = _motion_search(recon_ref, blocks, me_radius, me_step)
+    else:
+        # Coarse full search at 1/factor resolution, then +-1 greedy
+        # refinement at full res.
+        mv_int = _coarse_motion(recon_ref, _plane_of(blocks), me_radius, factor)
+        mv_int = _integer_refine(recon_ref, blocks, mv_int, reach=reach, rounds=rounds)
+    if me_halfpel:
+        mv = _halfpel_refine(recon_ref, blocks, mv_int, reach=reach)
+    else:
+        mv = mv_int * 2  # integer motion in half-pel units
+    # Stored vectors must stay inside THIS reach's representable range
+    # (and the container's int8 half-pel range): the decoder sizes its
+    # tables from the stream's max |mv| and predictions agree for every
+    # reach that covers it.
+    lim = min(2 * reach * BLOCK, 126)
+    return jnp.clip(mv, -lim, lim)
+
+
 def encode_plane(
     plane: jnp.ndarray,
     qp_map: jnp.ndarray,
@@ -229,6 +335,7 @@ def encode_plane(
     me_radius: int = 4,
     me_step: int = 1,
     me_halfpel: bool = True,
+    force_intra: "jnp.ndarray | None" = None,
 ):
     """plane ``(N, H, W)`` float32 [0,255]; qp_map ``(N, By, Bx)`` int.
 
@@ -238,32 +345,34 @@ def encode_plane(
 
     ``gop``: intra-frame period (0 = only frame 0 is intra).
     ``me_radius/me_step``: motion-search grid (0 radius = zero-motion).
+    Radii above 7 switch to the hierarchical coarse-to-fine search
+    (_me_plan): area-downsampled full search + greedy integer refinement,
+    with the prediction neighbourhood widened to match.
     """
-    if me_radius > 7:
+    if me_radius > 56:
         raise ValueError(
-            f"me_radius={me_radius} exceeds the 3x3-block prediction "
-            "neighbourhood (max supported radius: 7)"
+            f"me_radius={me_radius} exceeds the int8 half-pel motion "
+            "container range (max supported radius: 56)"
         )
     n, h, w = plane.shape
+    factor, rounds, reach = _me_plan(me_radius)
     qstep = qstep_from_qp(qp_map)  # (N,By,Bx)
     frames_blocks = jax.vmap(_blocks_of)(plane)  # (N,By,Bx,8,8)
 
-    t_idx = jnp.arange(n)
-    force_intra = (t_idx == 0) if gop <= 0 else (t_idx % gop == 0)
+    if force_intra is None:
+        t_idx = jnp.arange(n)
+        force_intra = (t_idx == 0) if gop <= 0 else (t_idx % gop == 0)
 
     def step(recon_prev, inputs):
         blocks, qs, intra_only = inputs
         if me_radius > 0:
-            # Dense integer search via whole-frame shifts (cheap: ~0.7ms per
-            # candidate at 1080p), then half-pel refinement.
-            mv_int = _motion_search(recon_prev, blocks, me_radius, me_step)
-            if me_halfpel:
-                mv = _halfpel_refine(recon_prev, blocks, mv_int)  # half-pel
-            else:
-                mv = mv_int * 2  # integer motion in half-pel units
+            mv = _search_mv(
+                recon_prev, blocks, me_radius, me_step, me_halfpel,
+                factor, rounds, reach,
+            )
         else:
             mv = jnp.zeros(blocks.shape[:2] + (2,), jnp.int32)
-        pred = _motion_predict(recon_prev, mv)  # (By,Bx,8,8)
+        pred = _motion_predict(recon_prev, mv, reach=reach)  # (By,Bx,8,8)
 
         res_inter = blocks - pred
         lv_intra = _quantize(block_dct2(blocks), qs)
@@ -303,17 +412,19 @@ def decode_plane(
     qp_map: jnp.ndarray,
     h: int,
     w: int,
+    reach: int = 1,
 ) -> jnp.ndarray:
     """Inverse of encode_plane: levels ``(N,By,Bx,64)``, modes
     ``(N,By,Bx)``, mvs ``(N,By,Bx,2)``, qp_map ``(N,By,Bx)`` ->
-    plane ``(N,H,W)`` float32."""
+    plane ``(N,H,W)`` float32. ``reach`` must cover the stream's max
+    |mv| (the container derives it host-side: ceil(max|mv2|/16))."""
     n, by, bx, _ = levels.shape
     qstep = qstep_from_qp(qp_map)
     lv = levels.reshape(n, by, bx, BLOCK, BLOCK).astype(jnp.float32)
 
     def step(recon_prev, inputs):
         lvl, mode, mv, qs = inputs
-        pred = _motion_predict(recon_prev, mv.astype(jnp.int32))
+        pred = _motion_predict(recon_prev, mv.astype(jnp.int32), reach=reach)
         rec_res = block_idct2(lvl * qs[..., None, None])
         rec = jnp.where((mode == MODE_INTER)[..., None, None], rec_res + pred, rec_res)
         rec = jnp.clip(rec, 0.0, 255.0)
@@ -323,3 +434,166 @@ def decode_plane(
     init = jnp.zeros((h, w), dtype=jnp.float32)
     _, recons = jax.lax.scan(step, init, (lv, modes, mvs, qstep))
     return recons
+
+
+def encode_plane_b(
+    plane: jnp.ndarray,
+    qp_map: jnp.ndarray,
+    gop: int = 0,
+    me_radius: int = 4,
+    me_step: int = 1,
+    me_halfpel: bool = True,
+    b_qp_offset: int = 2,
+):
+    """B-frame GOP structure, TPU-native: even-index frames form the
+    P-reference chain (sequential ``lax.scan``, exactly encode_plane's
+    loop) and every odd-index frame is a B frame bi-predicted from its
+    two neighbouring references — B frames are never referenced, so they
+    all encode in PARALLEL (``vmap``). This halves the sequential depth
+    of the encode and gives fast/occluded content a backward reference
+    (the reference's external encoders get B frames from x265/kvazaar;
+    elvis.py:1226 two-pass x265 defaults include them).
+
+    Per B block the mode is chosen by quantized-coefficient cost among
+    intra / forward / backward / bidirectional (MODE_*).
+
+    Returns (levels (N,By,Bx,64) float32, modes (N,By,Bx) int8,
+    mvs (N,By,Bx,2,2) int8 half-pel [fwd, bwd] — P frames store their
+    vector in the fwd slot with bwd=0 — recon (N,H,W) float32).
+
+    ``me_radius`` is the per-DISPLAY-FRAME motion budget: the reference
+    chain steps 2 frames at a time, so it searches 2*me_radius; B frames
+    are 1 frame from each reference and search me_radius.
+    """
+    n, h, w = plane.shape
+    ref_radius = min(2 * me_radius, 56) if me_radius > 0 else 0
+    factor, rounds, reach = _me_plan(me_radius)
+    ne = (n + 1) // 2
+    nb = n // 2
+
+    # Intra refresh lives on the reference chain: even frame 2k is intra
+    # when a gop boundary was crossed since the previous reference.
+    if gop <= 0:
+        fi = np.zeros(ne, bool)
+        fi[0] = True
+    else:
+        te = 2 * np.arange(ne)
+        fi = np.empty(ne, bool)
+        fi[0] = True
+        fi[1:] = (te[1:] // gop) != (te[:-1] // gop)
+    lv_e, md_e, mv_e, rec_e = encode_plane(
+        plane[::2], qp_map[::2], gop=0, me_radius=ref_radius, me_step=me_step,
+        me_halfpel=me_halfpel, force_intra=jnp.asarray(fi),
+    )
+
+    by, bx = qp_map.shape[1], qp_map.shape[2]
+    if nb:
+        k = jnp.arange(nb)
+        ref_f = rec_e[k]  # reference before frame 2k+1
+        ref_b = rec_e[jnp.minimum(k + 1, ne - 1)]  # reference after (or fwd ref again at the tail)
+        blocks_b = jax.vmap(_blocks_of)(plane[1::2])
+        # B frames are never referenced: quantize them b_qp_offset coarser
+        # (the standard B-frame trade — bits drop, nothing propagates).
+        qs_b = qstep_from_qp(jnp.clip(qp_map[1::2] + b_qp_offset, 0, 51))
+
+        def encode_b(rf, rb, blocks, qs):
+            if me_radius > 0:
+                mvf = _search_mv(rf, blocks, me_radius, me_step, me_halfpel,
+                                 factor, rounds, reach)
+                mvb = _search_mv(rb, blocks, me_radius, me_step, me_halfpel,
+                                 factor, rounds, reach)
+            else:
+                mvf = jnp.zeros(blocks.shape[:2] + (2,), jnp.int32)
+                mvb = jnp.zeros_like(mvf)
+            pf = _motion_predict(rf, mvf, reach=reach)
+            pb = _motion_predict(rb, mvb, reach=reach)
+            pbi = 0.5 * (pf + pb)
+            preds = jnp.stack([jnp.zeros_like(pf), pf, pb, pbi])  # (4,By,Bx,b,b)
+            lvs = jnp.stack([_quantize(block_dct2(blocks - p), qs) for p in preds])
+            costs = jnp.abs(lvs).sum(axis=(-2, -1))  # (4,By,Bx)
+            mode = jnp.argmin(jnp.moveaxis(costs, 0, -1), axis=-1)  # (By,Bx)
+            onehot = (jnp.arange(4)[:, None, None] == mode[None]).astype(jnp.float32)
+            lv = (lvs.astype(jnp.float32) * onehot[..., None, None]).sum(axis=0)
+            pred = (preds * onehot[..., None, None]).sum(axis=0)
+            use_f = (mode == MODE_INTER) | (mode == MODE_INTER_BI)
+            use_b = (mode == MODE_INTER_BWD) | (mode == MODE_INTER_BI)
+            mvf = jnp.where(use_f[..., None], mvf, 0)
+            mvb = jnp.where(use_b[..., None], mvb, 0)
+            rec = jnp.clip(block_idct2(lv * qs[..., None, None]) + pred, 0.0, 255.0)
+            return (
+                lv,
+                mode.astype(jnp.int8),
+                jnp.stack([mvf, mvb], axis=-2).astype(jnp.int8),  # (By,Bx,2,2)
+                _plane_of(rec),
+            )
+
+        lv_b, md_b, mv_b, rec_b = jax.vmap(encode_b)(ref_f, ref_b, blocks_b, qs_b)
+    else:
+        lv_b = jnp.zeros((0, by, bx, BLOCK, BLOCK), jnp.float32)
+        md_b = jnp.zeros((0, by, bx), jnp.int8)
+        mv_b = jnp.zeros((0, by, bx, 2, 2), jnp.int8)
+        rec_b = jnp.zeros((0, h, w), jnp.float32)
+
+    # Interleave display order: evens then odds back into place.
+    levels = jnp.zeros((n, by, bx, BLOCK, BLOCK), jnp.float32)
+    levels = levels.at[::2].set(lv_e.reshape(ne, by, bx, BLOCK, BLOCK))
+    levels = levels.at[1::2].set(lv_b)
+    modes = jnp.zeros((n, by, bx), jnp.int8).at[::2].set(md_e).at[1::2].set(md_b)
+    mvs = jnp.zeros((n, by, bx, 2, 2), jnp.int8)
+    mvs = mvs.at[::2, :, :, 0, :].set(mv_e).at[1::2].set(mv_b)
+    recons = jnp.zeros((n, h, w), jnp.float32).at[::2].set(rec_e).at[1::2].set(rec_b)
+    return levels.reshape(n, by, bx, BLOCK * BLOCK), modes, mvs, recons
+
+
+def decode_plane_b(
+    levels: jnp.ndarray,
+    modes: jnp.ndarray,
+    mvs: jnp.ndarray,
+    qp_map: jnp.ndarray,
+    h: int,
+    w: int,
+    reach: int = 1,
+    b_qp_offset: int = 2,
+) -> jnp.ndarray:
+    """Inverse of encode_plane_b: mvs ``(N,By,Bx,2,2)`` [fwd, bwd]
+    half-pel. Even frames decode as the sequential reference chain, odd
+    (B) frames decode in parallel from their two references."""
+    n, by, bx, _ = levels.shape
+    ne = (n + 1) // 2
+    nb = n // 2
+    qp_map = qp_map.at[1::2].set(jnp.clip(qp_map[1::2] + b_qp_offset, 0, 51))
+    qstep = qstep_from_qp(qp_map)
+    lv = levels.reshape(n, by, bx, BLOCK, BLOCK).astype(jnp.float32)
+
+    rec_e = decode_plane(
+        levels[::2], modes[::2], mvs[::2, :, :, 0, :], qp_map[::2], h, w, reach=reach
+    )
+
+    if nb:
+        k = jnp.arange(nb)
+        ref_f = rec_e[k]
+        ref_b = rec_e[jnp.minimum(k + 1, ne - 1)]
+
+        def decode_b(rf, rb, lvl, mode, mv, qs):
+            pf = _motion_predict(rf, mv[..., 0, :].astype(jnp.int32), reach=reach)
+            pb = _motion_predict(rb, mv[..., 1, :].astype(jnp.int32), reach=reach)
+            pbi = 0.5 * (pf + pb)
+            preds = jnp.stack([jnp.zeros_like(pf), pf, pb, pbi])
+            onehot = (
+                jnp.arange(4)[:, None, None] == mode.astype(jnp.int32)[None]
+            ).astype(jnp.float32)
+            pred = (preds * onehot[..., None, None]).sum(axis=0)
+            rec = jnp.clip(
+                block_idct2(lvl * qs[..., None, None]) + pred, 0.0, 255.0
+            )
+            return _plane_of(rec)
+
+        rec_b = jax.vmap(decode_b)(
+            ref_f, ref_b, lv[1::2], modes[1::2], mvs[1::2], qstep[1::2]
+        )
+    else:
+        rec_b = jnp.zeros((0, h, w), jnp.float32)
+
+    return (
+        jnp.zeros((n, h, w), jnp.float32).at[::2].set(rec_e).at[1::2].set(rec_b)
+    )

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from elvis_tpu.core.blocks import combine_blocks, split_into_blocks
 from elvis_tpu.kernels.block_transform import (
-    apply_block_matrix,
+    apply_block_matrix_fast,
     blur_matrix_table,
     resample_matrix_table,
 )
@@ -69,7 +69,7 @@ def adaptive_downsample(frames: jnp.ndarray, scores: jnp.ndarray, block_size: in
     levels = downsample_levels_from_scores(scores, block_size)
     blocks = split_into_blocks(frames, block_size)
     table = resample_matrix_table(block_size, "linear")
-    out_blocks = apply_block_matrix(blocks, jnp.asarray(table), levels)
+    out_blocks = apply_block_matrix_fast(blocks, table, levels)
     return _finalize(frames.dtype, combine_blocks(out_blocks)), levels
 
 
@@ -97,10 +97,10 @@ def adaptive_downsample_scale(
             resize_matrix(block_size, small, "linear")
             @ resize_matrix(small, block_size, "area")
         )
-    table = jnp.asarray(np.stack(ops, axis=0), dtype=jnp.float32)
+    table = np.stack(ops, axis=0)
 
     blocks = split_into_blocks(frames, block_size)
-    out_blocks = apply_block_matrix(blocks, table, scale_map)
+    out_blocks = apply_block_matrix_fast(blocks, table, scale_map)
     return _finalize(frames.dtype, combine_blocks(out_blocks)), scale_map
 
 
@@ -115,5 +115,5 @@ def adaptive_blur(
     levels = blur_levels_from_scores(scores, max_rounds)
     blocks = split_into_blocks(frames, block_size)
     table = blur_matrix_table(block_size, max_rounds)
-    out_blocks = apply_block_matrix(blocks, jnp.asarray(table), levels)
+    out_blocks = apply_block_matrix_fast(blocks, table, levels)
     return _finalize(frames.dtype, combine_blocks(out_blocks)), levels

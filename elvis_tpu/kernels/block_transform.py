@@ -15,11 +15,21 @@ level, then two batched matmuls. HBM traffic is one read + one write of
 the frame (the level-stack formulation this replaces cost (L+1)x), and
 the FLOPs all land on the systolic array.
 
-Two implementations:
-  * ``apply_block_matrix`` — pure XLA (gather + einsum), the default;
-  * ``apply_block_matrix_pallas`` — a Pallas kernel that keeps a tile of
-    blocks resident in VMEM with the whole matrix table, for explicit
-    layout control (grid over block tiles; table is a few KB).
+Implementations:
+  * ``apply_block_matrix`` — pure XLA (gather + batched einsum);
+  * ``apply_block_matrix_kron`` — the Kronecker reformulation
+    ``vec(T X T^T) = vec(X) @ (T (x) T)^T``: one dense (M, b^2) @
+    (b^2, L*b^2) MXU matmul over ALL levels + a per-block slice select
+    (contraction b^2=64 instead of b=8);
+  * ``apply_block_matrix_pallas`` — Pallas batched-smalls kernel (the
+    explicit-layout variant of the einsum path);
+  * ``apply_block_matrix_pallas_kron`` — Pallas Kronecker kernel fusing
+    the level select into the matmul epilogue so the (tile, L*b^2)
+    intermediate never leaves VMEM. Fastest measured: 1.32 ms vs 2.91 ms
+    (einsum) per 1080p frame on TPU v5e.
+  * ``apply_block_matrix_fast`` — backend dispatch (pallas_kron on TPU,
+    einsum elsewhere) with a linear-op custom VJP; what the
+    degradation/restore call sites use.
 """
 
 from __future__ import annotations
@@ -39,7 +49,10 @@ __all__ = [
     "blur_matrix_table",
     "resample_matrix_table",
     "apply_block_matrix",
+    "apply_block_matrix_fast",
+    "apply_block_matrix_kron",
     "apply_block_matrix_pallas",
+    "apply_block_matrix_pallas_kron",
 ]
 
 _PRECISION = jax.lax.Precision.HIGHEST
@@ -115,11 +128,11 @@ def apply_block_matrix_pallas(
     dot_generals).
 
     Measured on TPU v5e: within 0.04% of the XLA path in value (different
-    accumulation order) at comparable speed; tile sizes above ~512 trip a
-    Mosaic compile failure on this toolchain. The XLA formulation remains
-    the default; this kernel is the explicit-layout variant for further
-    hand-tuning (both currently land ~8 GB/s effective on 8x8 blocks —
-    the tiny-matmul tiling, not HBM, is the limiter).
+    accumulation order) at comparable speed (3.6 vs 2.9 ms per 1080p
+    frame) — the b=8 contraction keeps the MXU near-idle in both. Kept as
+    the explicit-layout baseline; the production kernel is
+    :func:`apply_block_matrix_pallas_kron` (1.32 ms), which fixes the
+    contraction shape instead of the layout.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -180,3 +193,138 @@ def apply_block_matrix_pallas(
         interpret=interpret,
     )(ix, x, tbl)
     return out[:mc].reshape(m, c, b, b).transpose(0, 2, 3, 1)
+
+
+def _kron_of(table: np.ndarray) -> np.ndarray:
+    """(L, b, b) -> (b*b, L*b*b): column-stacked T_l (x) T_l, so that
+    ``vec(T X T^T) = vec(X) @ (T (x) T)^T`` lands level l's result in
+    columns [l*b*b, (l+1)*b*b)."""
+    ell, b, _ = table.shape
+    ks = [np.kron(table[l], table[l]).T for l in range(ell)]  # (b2, b2) each
+    return np.concatenate(ks, axis=1).astype(np.float32)  # (b2, L*b2)
+
+
+def apply_block_matrix_kron(
+    blocks: jnp.ndarray, table: jnp.ndarray, idx: jnp.ndarray
+) -> jnp.ndarray:
+    """MXU-shaped reformulation of :func:`apply_block_matrix`.
+
+    The per-block two-sided transform ``T[idx] @ X @ T[idx].T`` is
+    ``vec(X) @ (T_l (x) T_l)^T`` — so ALL levels evaluate as ONE dense
+    ``(M, b^2) @ (b^2, L*b^2)`` matmul (contraction b^2 = 64 vs the
+    batched formulation's b = 8; the MXU runs it at full tiling instead
+    of ~1% occupancy), then each block keeps its own level's b^2 slice.
+    Costs L x the FLOPs of the minimal op and an (M, L*b^2) intermediate
+    in HBM — the Pallas variant fuses the selection into the matmul
+    epilogue and writes only (M, b^2).
+    """
+    b = blocks.shape[-3]
+    c = blocks.shape[-1]
+    lead = blocks.shape[:-3]
+    ell = table.shape[0]
+    k = jnp.asarray(_kron_of(np.asarray(table, np.float64)))  # (b2, L*b2)
+    # (..., b, b, C) -> (M*C, b*b): channels fold into rows; vec(X) is
+    # row-major (i*b+j), matching np.kron's (i,j) block layout.
+    x = blocks.astype(jnp.float32)
+    m = int(np.prod(lead)) if lead else 1
+    xv = x.transpose(*range(len(lead)), len(lead) + 2, len(lead), len(lead) + 1
+                     ).reshape(m * c, b * b)
+    y = jnp.dot(xv, k, precision=_PRECISION)  # (M*C, L*b2)
+    y = y.reshape(m, c, ell, b * b)
+    idxm = idx.reshape(m).astype(jnp.int32)
+    sel = y[jnp.arange(m)[:, None], jnp.arange(c)[None, :], idxm[:, None], :]
+    out = sel.reshape(*lead, c, b, b)
+    perm = (*range(len(lead)), len(lead) + 1, len(lead) + 2, len(lead))
+    return out.transpose(*perm)
+
+
+def apply_block_matrix_pallas_kron(
+    blocks: jnp.ndarray, table: jnp.ndarray, idx: jnp.ndarray, *, tile: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pallas-fused Kronecker path: per grid step, one ``(tile, b^2) @
+    (b^2, L*b^2)`` MXU matmul in VMEM followed by an unrolled mask-select
+    epilogue over the L column groups — the (tile, L*b^2) intermediate
+    never leaves VMEM, so HBM traffic is exactly one read + one write of
+    the blocks (the thing XLA cannot fuse through take_along_axis)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, b, _, c = blocks.shape
+    ell = table.shape[0]
+    b2 = b * b
+    kmat = jnp.asarray(_kron_of(np.asarray(table, np.float64)))  # (b2, L*b2)
+
+    mc = m * c
+    xv = blocks.astype(jnp.float32).transpose(0, 3, 1, 2).reshape(mc, b2)
+    ix = jnp.repeat(idx.astype(jnp.int32), c).reshape(mc, 1)
+    pad = (-mc) % tile
+    if pad:
+        xv = jnp.concatenate([xv, jnp.zeros((pad, b2), jnp.float32)], axis=0)
+        ix = jnp.concatenate([ix, jnp.zeros((pad, 1), jnp.int32)], axis=0)
+    mp = mc + pad
+
+    def kernel(idx_ref, x_ref, k_ref, out_ref):
+        y = jax.lax.dot_general(
+            x_ref[:], k_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (tile, L*b2) in VMEM
+        ids = idx_ref[:, 0]
+        acc = jnp.zeros((tile, b2), jnp.float32)
+        for level in range(ell):
+            mask = (ids == level).astype(jnp.float32)[:, None]
+            acc = acc + mask * y[:, level * b2 : (level + 1) * b2]
+        out_ref[:] = acc
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(mp // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, b2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b2, ell * b2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, b2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, b2), jnp.float32),
+        interpret=interpret,
+    )(ix, xv, kmat)
+    return out[:mc].reshape(m, c, b, b).transpose(0, 2, 3, 1)
+
+
+def apply_block_matrix_fast(
+    blocks: jnp.ndarray, table, idx: jnp.ndarray, *, tile: int = 1024
+) -> jnp.ndarray:
+    """Backend-dispatched :func:`apply_block_matrix`: the fused Pallas
+    Kronecker kernel on TPU (measured 2.2x the einsum path at 1080p —
+    1.32 vs 2.91 ms/frame), the einsum formulation elsewhere.
+
+    ``table`` must be a host-side (L, b, b) array (it is baked into the
+    kernel as a constant). Differentiable in ``blocks``: the op is
+    linear, so the VJP is the same transform with T^T, expressed through
+    the einsum path.
+    """
+    table_np = np.asarray(table, np.float64)
+    if jax.default_backend() != "tpu":
+        return apply_block_matrix(blocks, jnp.asarray(table_np, jnp.float32), idx)
+
+    @jax.custom_vjp
+    def f(x, i):
+        lead = x.shape[:-3]
+        b, c = x.shape[-3], x.shape[-1]
+        m = int(np.prod(lead)) if lead else 1
+        out = apply_block_matrix_pallas_kron(
+            x.reshape(m, b, b, c), table_np, i.reshape(m), tile=tile
+        )
+        return out.reshape(x.shape)
+
+    def fwd(x, i):
+        return f(x, i), i
+
+    def bwd(i, g):
+        t_t = jnp.asarray(np.swapaxes(table_np, -1, -2), jnp.float32)
+        gx = apply_block_matrix(g, t_t, i)
+        return gx, np.zeros(i.shape, dtype=jax.dtypes.float0)
+
+    f.defvjp(fwd, bwd)
+    return f(blocks, idx)

@@ -195,7 +195,8 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
     codec = make_pipeline_codec(
         config.codec, os.path.join(experiment_dir, "codec"), width, height,
         preset=config.encode_preset, pix_fmt=config.encode_pix_fmt,
-        quality=config.quality_preset,
+        quality=config.quality_preset, nvc_b_frames=config.nvc_b_frames,
+        nvc_me_radius=config.nvc_me_radius,
     )
     # ~1-second keyframe interval like the reference's `-g framerate`
     # (elvis.py:1298) — bounds seek/error propagation.

@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from elvis_tpu.core.blocks import combine_blocks, split_into_blocks
-from elvis_tpu.kernels.block_transform import apply_block_matrix, resample_matrix_table
+from elvis_tpu.kernels.block_transform import apply_block_matrix_fast, resample_matrix_table
 from elvis_tpu.restore.registry import register_restorer
 
 __all__ = ["restore_downsample_lanczos"]
@@ -26,7 +26,7 @@ def restore_downsample_lanczos(
     restored frames."""
     blocks = split_into_blocks(frames, block_size)
     table = resample_matrix_table(block_size, "lanczos4")
-    out_blocks = apply_block_matrix(blocks, jnp.asarray(table), level_maps)
+    out_blocks = apply_block_matrix_fast(blocks, table, level_maps)
     out = combine_blocks(out_blocks)
     if jnp.issubdtype(frames.dtype, jnp.integer):
         out = jnp.clip(jnp.round(out), 0, 255)

@@ -19,7 +19,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from elvis_tpu.core.blocks import combine_blocks, split_into_blocks
-from elvis_tpu.kernels.block_transform import apply_block_matrix, conv_matrix_reflect101
+from elvis_tpu.kernels.block_transform import apply_block_matrix_fast, conv_matrix_reflect101
 from elvis_tpu.restore.registry import register_restorer
 
 __all__ = ["restore_blur_unsharp"]
@@ -48,7 +48,7 @@ def restore_blur_unsharp(
 ) -> jnp.ndarray:
     blocks = split_into_blocks(frames, block_size).astype(jnp.float32)
     table = _unsharp_blur_table(block_size, max_rounds)
-    blurred = apply_block_matrix(blocks, jnp.asarray(table), level_maps)
+    blurred = apply_block_matrix_fast(blocks, table, level_maps)
     amount = (0.5 * level_maps.astype(jnp.float32))[..., None, None, None]
     sharp = jnp.clip((1.0 + amount) * blocks - amount * blurred, 0, 255)
     out = combine_blocks(jnp.where(amount > 0, sharp, blocks))

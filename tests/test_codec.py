@@ -330,6 +330,88 @@ class TestMotionCompensation:
         s_int = codec.encode(clip, qp=30, framerate=24.0, me_halfpel=False)
         assert len(s_half) < 0.9 * len(s_int), (len(s_half), len(s_int))
 
+    def test_hierarchical_me_beats_capped_search_on_fast_pan(self, rng):
+        """12 px/frame pan is out of reach for the dense radius-7 search;
+        the hierarchical coarse-to-fine path (radius > 7) must code it
+        markedly cheaper with zero encoder/decoder drift."""
+        import jax
+        import jax.numpy as jnp
+
+        from elvis_tpu.codec.nvc.transform import decode_plane, encode_plane
+
+        h, w, n = 64, 96, 4
+        base = (rng.random((h, w + 3 * 16)) * 255).astype(np.float32)
+        plane = jnp.asarray(np.stack([base[:, 12 * t : 12 * t + w] for t in range(n)]))
+        qp = jnp.full((n, h // 8, w // 8), 30, jnp.int32)
+        enc = jax.jit(encode_plane, static_argnums=(2, 3, 4, 5))
+
+        costs = {}
+        for radius in (7, 16):
+            lv, modes, mvs, recons = enc(plane, qp, 0, radius, 1, True)
+            reach = max(1, -(-int(np.abs(np.asarray(mvs)).max()) // 16))
+            dec = decode_plane(lv, modes, mvs, qp, h, w, reach=reach)
+            np.testing.assert_allclose(np.asarray(dec), np.asarray(recons), atol=1e-4)
+            costs[radius] = float(jnp.abs(lv).sum())
+        assert costs[16] < 0.6 * costs[7], costs
+
+    def test_long_range_me_through_container(self, rng):
+        """me_radius > 7 through NvcCodec.encode/decode: the decoder
+        derives the prediction reach from the stream's vectors."""
+        from elvis_tpu.codec import NvcCodec
+
+        base = (rng.random((64, 184, 3)) * 200 + 20).astype(np.uint8)
+        pan = np.stack([base[:, 10 * t : 10 * t + 144] for t in range(4)])
+        codec = NvcCodec()
+        s_short = codec.encode(pan, qp=30, framerate=24.0, me_radius=4)
+        s_long = codec.encode(pan, qp=30, framerate=24.0, me_radius=16)
+        assert len(s_long) < 0.8 * len(s_short), (len(s_long), len(s_short))
+        dec, _ = codec.decode(s_long)
+        assert dec.shape == pan.shape
+        ref, _ = codec.decode(s_short)
+        mse_long = float(np.mean((dec.astype(np.float32) - pan) ** 2))
+        mse_short = float(np.mean((ref.astype(np.float32) - pan) ** 2))
+        assert mse_long <= mse_short * 1.1, (mse_long, mse_short)
+
+    def test_b_frames_save_bits_on_motion(self, rng):
+        """Bi-predicted odd frames + B QP offset: a panning clip must
+        code cheaper than the P-only chain at near-equal quality."""
+        from elvis_tpu.codec import NvcCodec
+
+        frame = (rng.random((64, 144, 3)) * 200 + 20).astype(np.uint8)
+        pan = np.stack([np.roll(frame, 3 * t, axis=1) for t in range(8)])
+        codec = NvcCodec()
+        s_p = codec.encode(pan, qp=30, framerate=24.0, me_radius=4)
+        s_b = codec.encode(pan, qp=30, framerate=24.0, me_radius=4, b_frames=True)
+        assert len(s_b) < 0.9 * len(s_p), (len(s_b), len(s_p))
+        dp, _ = codec.decode(s_p)
+        db, _ = codec.decode(s_b)
+        mse_p = float(np.mean((dp.astype(np.float32) - pan) ** 2))
+        mse_b = float(np.mean((db.astype(np.float32) - pan) ** 2))
+        assert mse_b <= mse_p * 1.1, (mse_b, mse_p)
+
+    def test_b_frames_roundtrip_odd_n_roi_gop(self, rng):
+        """Odd frame count (tail B ref falls back to fwd), ROI map and
+        GOP refresh all through the v3 container."""
+        from elvis_tpu.codec import NvcCodec
+        from elvis_tpu.codec.nvc.codec import luma_modes
+
+        frame = (rng.random((64, 144, 3)) * 200 + 20).astype(np.uint8)
+        pan = np.stack([np.roll(frame, 3 * t, axis=1) for t in range(7)])
+        roi = rng.standard_normal((7, 8, 18)) * 4
+        codec = NvcCodec()
+        s = codec.encode(pan, qp=32, framerate=24.0, roi_delta_qp=roi, gop=4,
+                         b_frames=True)
+        dec, fps = codec.decode(s)
+        assert dec.shape == pan.shape and fps == 24.0
+        info = codec.probe(s)
+        assert (info.width, info.height, info.num_frames) == (144, 64, 7)
+        modes = luma_modes(s)
+        # frame 4 crosses the gop=4 boundary -> reference frame 4 is intra
+        assert (modes[0] == 0).all()
+        assert (modes[4] == 0).all()
+        # B frames may use backward/bi modes (2/3); P frames never do
+        assert int(modes[::2].max()) <= 1
+
     def test_gop_periodic_intra(self, rng):
         """gop=N forces intra refresh every N frames: a corrupted-prefix
         decode is impossible to test without bitstream surgery, but the

@@ -66,6 +66,51 @@ class TestApplyBlockMatrix:
         )
         np.testing.assert_allclose(got, want, atol=1e-3)
 
+    def test_kron_matches_xla(self, rng):
+        from elvis_tpu.kernels import apply_block_matrix_kron
+
+        blocks, table, idx = self._data(rng, m=70)
+        want = np.asarray(apply_block_matrix(blocks, table, idx))
+        got = np.asarray(apply_block_matrix_kron(blocks, table, idx))
+        np.testing.assert_allclose(got, want, atol=1e-3)
+        # multi-dim lead (N, By, Bx) layout
+        b4 = blocks.reshape(5, 2, 7, 8, 8, 3)
+        i4 = idx.reshape(5, 2, 7)
+        got4 = np.asarray(apply_block_matrix_kron(b4, table, i4))
+        np.testing.assert_allclose(got4.reshape(want.shape), want, atol=1e-3)
+
+    def test_pallas_kron_matches_xla(self, rng):
+        from elvis_tpu.kernels import apply_block_matrix_pallas_kron
+
+        blocks, table, idx = self._data(rng, m=70)
+        want = np.asarray(apply_block_matrix(blocks, table, idx))
+        got = np.asarray(
+            apply_block_matrix_pallas_kron(blocks, table, idx, tile=32, interpret=True)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+    def test_fast_dispatch_and_grad(self, rng):
+        """apply_block_matrix_fast must match the einsum path on this
+        backend and expose the linear-op VJP (d/dblocks = T^T . T)."""
+        from elvis_tpu.kernels import apply_block_matrix_fast
+
+        blocks, table, idx = self._data(rng, m=24)
+        table_np = np.asarray(table)
+        want = np.asarray(apply_block_matrix(blocks, table, idx))
+        got = np.asarray(apply_block_matrix_fast(blocks, table_np, idx))
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+        def loss(x):
+            return jnp.sum(apply_block_matrix_fast(x, table_np, idx) ** 2)
+
+        g = jax.grad(loss)(blocks)
+        # linear op: grad = 2 * T^T (T X T^T) T
+        tt = np.swapaxes(table_np, -1, -2)
+        want_g = 2.0 * np.asarray(
+            apply_block_matrix(jnp.asarray(want), jnp.asarray(tt), idx)
+        )
+        np.testing.assert_allclose(np.asarray(g), want_g, rtol=1e-3, atol=1e-2)
+
     def test_identity_level_passthrough(self, rng):
         blocks, table, _ = self._data(rng)
         idx = jnp.zeros((blocks.shape[0],), jnp.int32)
