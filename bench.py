@@ -105,6 +105,27 @@ def main() -> int:
                 "photo_dpsnr_db_vs_lanczos": res["dpsnr"],
                 "photo_dssim_vs_lanczos": res["dssim"],
             }
+        # quality tier (SRNet RRDB, checkpoints/srnet): the slower/better
+        # row, reported alongside the serving tier's
+        from elvis_tpu.models import SRNet
+
+        qckpt = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "checkpoints", "srnet"
+        )
+        if os.path.isdir(qckpt):
+            import orbax.checkpoint as ocp
+
+            qmodel = SRNet()
+            qparams = jax.jit(qmodel.init)(
+                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+            )
+            qparams = ocp.StandardCheckpointer().restore(qckpt, qparams)
+            qres = sr_holdout_eval(
+                lambda f: qmodel.apply(qparams, f),
+                frames=2, size=192, with_codec_noise=False,
+            ).get("photo")
+            if qres:
+                quality["quality_tier_photo_dpsnr_db_vs_lanczos"] = qres["dpsnr"]
     except Exception:
         pass  # throughput metric stands alone if eval content is missing
 

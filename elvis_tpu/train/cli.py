@@ -36,7 +36,8 @@ def _mesh():
 
 def _train_sr(model, tag: str, steps: int, ckpt_dir: str, lr: float, batch: int,
               patch: int, log_every: int, block_size: int,
-              natural_fraction: float = 0.75):
+              natural_fraction: float = 0.75, photo_fraction: float = 0.0,
+              ema_decay: float = 0.999, val_every: int = 0):
     """Train a 2x upsampler THROUGH the progressive restoration loop.
 
     Per-stage SR training does not compose: the deployed model runs
@@ -59,20 +60,35 @@ def _train_sr(model, tag: str, steps: int, ckpt_dir: str, lr: float, batch: int,
     from elvis_tpu.degrade import adaptive_downsample
     from elvis_tpu.restore.progressive import progressive_restore
     from elvis_tpu.train import Trainer
-    from elvis_tpu.train.data import codec_noise, natural_frames, synthetic_frames
+    from elvis_tpu.train.data import (
+        codec_noise, natural_frames, photo_patch_pool, synthetic_frames)
 
     params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, patch // 2, patch // 2, 3)))
     max_level = 3  # static stage count: factors up to 8x
 
+    # Real-photo patches (sklearn's china/flower, never the eval photo):
+    # the missing statistics the quality tier overfit past in round 2's
+    # procedural-only recipes.
+    pool = (
+        jnp.asarray(photo_patch_pool(patch, True, 2048, 0))
+        if photo_fraction > 0 else None
+    )
+
     @jax.jit
     def make_batch(rng):
-        k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+        k1, k2, k3, k4, k5, k6, k7 = jax.random.split(rng, 7)
         # natural-statistics vs legacy band-limited content mix
         clean = jnp.where(
             jax.random.bernoulli(k4, natural_fraction, (batch, 1, 1, 1)),
             natural_frames(k1, batch, patch, patch),
             synthetic_frames(k5, batch, patch, patch),
         )
+        if pool is not None:
+            photo = pool[jax.random.randint(k6, (batch,), 0, pool.shape[0])]
+            clean = jnp.where(
+                jax.random.bernoulli(k7, photo_fraction, (batch, 1, 1, 1)),
+                photo, clean,
+            )
         scores = jax.random.uniform(k2, (batch, patch // block_size, patch // block_size))
         degraded, levels = adaptive_downsample(clean, scores, block_size)
         degraded = codec_noise(k3, degraded, block_size)
@@ -93,23 +109,84 @@ def _train_sr(model, tag: str, steps: int, ckpt_dir: str, lr: float, batch: int,
         0.0, lr, warmup_steps=min(100, steps // 10 + 1), decay_steps=steps
     )
     trainer = Trainer(loss_fn, params, mesh=_mesh(), learning_rate=schedule, ckpt_dir=ckpt_dir)
+
+    # EMA + held-out-validation checkpoint selection: the round-2 failure
+    # mode was procedural overfit (wins in-corpus, loses on the photo).
+    # EMA smooths late-training drift; the validation region (right strip
+    # of the TRAINING photos — no pixel overlap with training patches,
+    # and never the evaluation photo) picks the generalizing checkpoint.
+    ema_update = jax.jit(
+        lambda e, p: jax.tree.map(
+            lambda a, b: ema_decay * a + (1.0 - ema_decay) * b, e, p
+        )
+    )
+    # real copy (one jitted dispatch): the train step donates its params
+    # buffers, which would invalidate mere aliases
+    ema = jax.jit(lambda t: jax.tree.map(jnp.copy, t))(trainer.state.params)
+    best_psnr, best_params = -1.0, None
+    val_state = None
+    if val_every > 0:
+        from elvis_tpu.restore.progressive import lanczos_upsample_2x
+        from elvis_tpu.train.data import photo_patch_pool as _pool
+
+        vp = 128
+        val_clean = jnp.asarray(_pool(vp, False, 16, 1))
+        vk = jax.random.PRNGKey(123)
+        val_scores = jax.random.uniform(vk, (16, vp // block_size, vp // block_size))
+        val_degraded, val_levels = jax.jit(
+            lambda a, s: adaptive_downsample(a, s, block_size)
+        )(val_clean, val_scores)
+
+        @jax.jit
+        def val_psnr(p):
+            nn = progressive_restore(
+                val_degraded, val_levels, block_size,
+                upsample_fn=lambda f: model.apply(p, f), max_level=max_level,
+            )
+            return -10.0 * jnp.log10(jnp.mean((nn - val_clean) ** 2) / 255.0**2)
+
+        lz = progressive_restore(
+            val_degraded, val_levels, block_size,
+            upsample_fn=lanczos_upsample_2x, max_level=max_level,
+        )
+        lz_psnr = float(-10.0 * jnp.log10(jnp.mean((lz - val_clean) ** 2) / 255.0**2))
+        print(f"{tag} val lanczos psnr: {lz_psnr:.3f}", flush=True)
+        val_state = lz_psnr
+
     rng = jax.random.PRNGKey(1)
     t0 = time.time()
     for step in range(steps):
         rng, k1, k2 = jax.random.split(rng, 3)
         loss = trainer.step(make_batch(k1), k2)
+        ema = ema_update(ema, trainer.state.params)
+        if val_every > 0 and (step % val_every == 0 or step == steps - 1) and step > 0:
+            vp_now = float(val_psnr(ema))
+            mark = ""
+            if vp_now > best_psnr:
+                best_psnr, best_params = vp_now, jax.tree.map(lambda x: x, ema)
+                mark = " *best"
+            print(f"{tag} step {step}: val psnr {vp_now:.3f}"
+                  f" (lanczos {val_state:.3f}){mark}", flush=True)
         if step % log_every == 0 or step == steps - 1:
             print(f"{tag} step {step}: loss {loss:.6f} ({time.time()-t0:.0f}s)", flush=True)
+    if best_params is not None:
+        import dataclasses as _dc
+
+        trainer.state = _dc.replace(trainer.state, params=best_params)
+        print(f"{tag}: saving best-EMA checkpoint (val psnr {best_psnr:.3f})",
+              flush=True)
     trainer.save(tag)
     return trainer
 
 
-def train_srnet(steps: int, ckpt_dir: str, lr: float = 2e-4, batch: int = 16, patch: int = 64,
-                log_every: int = 50, block_size: int = 8):
+def train_srnet(steps: int, ckpt_dir: str, lr: float = 1e-4, batch: int = 16, patch: int = 64,
+                log_every: int = 50, block_size: int = 8,
+                photo_fraction: float = 0.5, val_every: int = 0):
     from elvis_tpu.models import SRNet
 
     return _train_sr(SRNet(), "srnet", steps, ckpt_dir, lr, batch, patch,
-                     log_every, block_size)
+                     log_every, block_size, photo_fraction=photo_fraction,
+                     val_every=val_every)
 
 
 def train_srnet_compact(steps: int, ckpt_dir: str, lr: float = 4e-4, batch: int = 16,

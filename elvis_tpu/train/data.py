@@ -25,6 +25,7 @@ __all__ = [
     "natural_frames",
     "natural_video_batch",
     "codec_noise",
+    "photo_patch_pool",
 ]
 
 
@@ -240,3 +241,60 @@ def natural_video_batch(rng, frames: int, height: int, width: int, max_pan: int 
         return jax.lax.dynamic_slice(scene, (off[0], off[1], 0), (height, width, 3))
 
     return jax.vmap(crop)(offsets)
+
+
+@functools.lru_cache(maxsize=8)
+def photo_patch_pool(
+    patch: int = 64, train: bool = True, pool_size: int = 2048, seed: int = 0
+):
+    """(pool_size, patch, patch, 3) float32 [0,255] patches from the two
+    REAL photographs bundled with scikit-learn (china.jpg, flower.jpg) —
+    the only natural images in this zero-egress image besides the
+    EVALUATION photo (matplotlib's grace_hopper.jpg, which this pool
+    deliberately never touches; train/evaluate.py:38).
+
+    Patches are drawn from a 3-level Lanczos pyramid (scale jitter) with
+    the 8 dihedral augmentations. ``train=True`` uses columns < 480 of
+    each photo, ``train=False`` the remaining right strip — a held-out
+    VALIDATION region for checkpoint selection that shares no pixels
+    with training. Returns a host numpy array (callers device_put once).
+    """
+    import os
+
+    import numpy as np
+    from PIL import Image
+    import sklearn
+
+    base = os.path.join(os.path.dirname(sklearn.__file__), "datasets", "images")
+    val_x = 480
+    arrs = []
+    for name in ("china.jpg", "flower.jpg"):
+        img = Image.open(os.path.join(base, name)).convert("RGB")
+        w, h = img.size
+        for s in (1.0, 0.75, 0.5):
+            im2 = img if s == 1.0 else img.resize(
+                (int(w * s), int(h * s)), Image.LANCZOS
+            )
+            a = np.asarray(im2, np.float32)
+            cut = int(val_x * s)
+            a = a[:, :cut] if train else a[:, cut:]
+            if a.shape[0] >= patch and a.shape[1] >= patch:
+                arrs.append(a)
+    if not arrs:
+        raise ValueError(f"no source region fits a {patch}px patch")
+    rng = np.random.default_rng(seed)
+    out = np.empty((pool_size, patch, patch, 3), np.float32)
+    for i in range(pool_size):
+        a = arrs[int(rng.integers(len(arrs)))]
+        y = int(rng.integers(0, a.shape[0] - patch + 1))
+        x = int(rng.integers(0, a.shape[1] - patch + 1))
+        p = a[y : y + patch, x : x + patch]
+        k = int(rng.integers(8))
+        if k & 1:
+            p = p[:, ::-1]
+        if k & 2:
+            p = p[::-1]
+        if k & 4:
+            p = np.swapaxes(p, 0, 1)
+        out[i] = p
+    return out
