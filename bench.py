@@ -26,6 +26,10 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from elvis_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from elvis_tpu.degrade import adaptive_downsample
     from elvis_tpu.models import SRNetCompact, srnet_upsample_fn
     from elvis_tpu.restore import progressive_restore

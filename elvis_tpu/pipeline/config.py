@@ -100,6 +100,7 @@ class ElvisConfig:
     # --- framework extensions (TPU-native knobs) -------------------------
     codec: str = "nvc"                 # 'nvc' | 'x265' | 'kvazaar' | 'svtav1'
     quality_preset: str = "medium"     # QUALITY_PRESETS tier for kvazaar/svtav1
+    compilation_cache: bool = True     # persistent XLA executable cache
     nvc_b_frames: bool = False         # NVC: bi-predicted odd frames (vmapped)
     nvc_me_radius: int = 4             # NVC: per-frame motion budget in pels
                                        # (>7 engages the hierarchical search)

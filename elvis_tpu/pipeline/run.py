@@ -142,6 +142,13 @@ class _DataParallel:
 
 def run_elvis(config: ElvisConfig) -> Dict:
     """Execute the pipeline; returns (and writes) analysis_results."""
+    if config.compilation_cache:
+        # Persistent XLA executable cache: cold-start wall-clock is
+        # compile-dominated; rerunning any config in a fresh process
+        # reuses every stage's compiled code.
+        from elvis_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
     if config.profile_dir:
         # Device-level tracing (SURVEY.md §5.1: the reference only has
         # wall-clock pairs; this adds XLA op-level traces on top).

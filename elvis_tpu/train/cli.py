@@ -190,11 +190,13 @@ def train_srnet(steps: int, ckpt_dir: str, lr: float = 1e-4, batch: int = 16, pa
 
 
 def train_srnet_compact(steps: int, ckpt_dir: str, lr: float = 4e-4, batch: int = 16,
-                        patch: int = 64, log_every: int = 50, block_size: int = 8):
+                        patch: int = 64, log_every: int = 50, block_size: int = 8,
+                        photo_fraction: float = 0.5, val_every: int = 0):
     from elvis_tpu.models import SRNetCompact
 
     return _train_sr(SRNetCompact(), "srnet_compact", steps, ckpt_dir, lr, batch,
-                     patch, log_every, block_size)
+                     patch, log_every, block_size, photo_fraction=photo_fraction,
+                     val_every=val_every)
 
 
 def train_deblur(steps: int, ckpt_dir: str, lr: float = 2e-4, batch: int = 8, patch: int = 64,
@@ -449,6 +451,9 @@ _TRAINERS = {
 
 
 def main(argv=None) -> int:
+    from elvis_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description="train elvis-tpu restorers")
     p.add_argument("model", choices=sorted(_TRAINERS))
     p.add_argument("--steps", type=int, default=500)

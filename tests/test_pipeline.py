@@ -143,6 +143,23 @@ class TestConfig:
         })
         assert cfg.strength_maps_target_bitrate == 42000
 
+    def test_compilation_cache_configurable(self, tmp_path, monkeypatch):
+        import jax
+
+        from elvis_tpu.utils.compile_cache import enable_compilation_cache
+
+        prev = jax.config.jax_compilation_cache_dir
+        try:
+            d = str(tmp_path / "xla_cache")
+            got = enable_compilation_cache(d)
+            assert got == d and os.path.isdir(d)
+            assert jax.config.jax_compilation_cache_dir == d
+            # env fallback
+            monkeypatch.setenv("ELVIS_TPU_COMPILE_CACHE", str(tmp_path / "env_cache"))
+            assert enable_compilation_cache() == str(tmp_path / "env_cache")
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prev)
+
 
 class TestIo:
     def test_synthetic_clip_shapes(self):
