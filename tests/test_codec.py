@@ -372,6 +372,28 @@ class TestMotionCompensation:
         mse_short = float(np.mean((ref.astype(np.float32) - pan) ** 2))
         assert mse_long <= mse_short * 1.1, (mse_long, mse_short)
 
+    def test_dc_dpcm_saves_bytes_and_is_lossless(self, rng, monkeypatch):
+        """DC-level DPCM (JPEG-style) is a lossless entropy-side
+        transform: identical decoded pixels, smaller stream on
+        smooth/photo-like content."""
+        from elvis_tpu.codec import NvcCodec
+        from elvis_tpu.codec.nvc import codec as nvc_codec
+
+        yy, xx = np.mgrid[0:64, 0:96].astype(np.float32)
+        smooth = np.clip(
+            128 + 100 * np.sin(xx / 30.0) * np.cos(yy / 22.0) + 10 * rng.random((64, 96)),
+            0, 255,
+        ).astype(np.uint8)
+        clip = np.repeat(smooth[None, ..., None], 3, -1).repeat(4, 0)
+        codec = NvcCodec()
+        s_on = codec.encode(clip, qp=30, framerate=24.0)
+        dec_on, _ = codec.decode(s_on)
+        monkeypatch.setattr(nvc_codec, "_dc_dpcm", lambda *a: None)
+        s_off = codec.encode(clip, qp=30, framerate=24.0)
+        dec_off, _ = codec.decode(s_off)
+        np.testing.assert_array_equal(dec_on, dec_off)  # lossless transform
+        assert len(s_on) < 0.9 * len(s_off), (len(s_on), len(s_off))
+
     def test_b_frames_save_bits_on_motion(self, rng):
         """Bi-predicted odd frames + B QP offset: a panning clip must
         code cheaper than the P-only chain at near-equal quality."""
