@@ -200,14 +200,16 @@ def train_srnet_compact(steps: int, ckpt_dir: str, lr: float = 4e-4, batch: int 
 
 
 def train_deblur(steps: int, ckpt_dir: str, lr: float = 2e-4, batch: int = 8, patch: int = 64,
-                 max_rounds: int = 10, log_every: int = 50):
+                 max_rounds: int = 10, log_every: int = 50,
+                 photo_fraction: float = 0.0, val_every: int = 0,
+                 ema_decay: float = 0.999):
     import jax
     import jax.numpy as jnp
 
     from elvis_tpu.degrade import adaptive_blur
     from elvis_tpu.models import DeblurUNet
     from elvis_tpu.train import Trainer
-    from elvis_tpu.train.data import synthetic_frames
+    from elvis_tpu.train.data import natural_frames, photo_patch_pool, synthetic_frames
 
     b = 8
     model = DeblurUNet(max_strength=float(max_rounds))
@@ -217,10 +219,25 @@ def train_deblur(steps: int, ckpt_dir: str, lr: float = 2e-4, batch: int = 8, pa
         jnp.zeros((1, patch // b, patch // b), jnp.int32),
     )
 
+    pool = (
+        jnp.asarray(photo_patch_pool(patch, True, 2048, 0))
+        if photo_fraction > 0 else None
+    )
+
     @jax.jit
     def make_batch(rng):
-        k1, k2 = jax.random.split(rng)
-        clean = synthetic_frames(k1, batch, patch, patch)
+        k1, k2, k3, k4, k5, k6 = jax.random.split(rng, 6)
+        clean = jnp.where(
+            jax.random.bernoulli(k3, 0.5, (batch, 1, 1, 1)),
+            natural_frames(k4, batch, patch, patch),
+            synthetic_frames(k1, batch, patch, patch),
+        )
+        if pool is not None:
+            photo = pool[jax.random.randint(k5, (batch,), 0, pool.shape[0])]
+            clean = jnp.where(
+                jax.random.bernoulli(k6, photo_fraction, (batch, 1, 1, 1)),
+                photo, clean,
+            )
         scores = jax.random.uniform(k2, (batch, patch // b, patch // b))
         degraded, levels = adaptive_blur(clean, scores, b, max_rounds)
         return clean, degraded, levels
@@ -231,13 +248,53 @@ def train_deblur(steps: int, ckpt_dir: str, lr: float = 2e-4, batch: int = 8, pa
         return jnp.mean((pred - clean) ** 2) / 255.0**2
 
     trainer = Trainer(loss_fn, params, mesh=_mesh(), learning_rate=lr, ckpt_dir=ckpt_dir)
+
+    # same EMA + held-out-photo-strip checkpoint selection as _train_sr
+    ema_update = jax.jit(
+        lambda e, p: jax.tree.map(
+            lambda a, q: ema_decay * a + (1.0 - ema_decay) * q, e, p
+        )
+    )
+    ema = jax.jit(lambda t: jax.tree.map(jnp.copy, t))(trainer.state.params)
+    best_psnr, best_params = -1.0, None
+    if val_every > 0:
+        vp = 128
+        val_clean = jnp.asarray(photo_patch_pool(vp, False, 16, 1))
+        val_scores = jax.random.uniform(jax.random.PRNGKey(123), (16, vp // b, vp // b))
+        val_degraded, val_levels = jax.jit(
+            lambda a, s: adaptive_blur(a, s, b, max_rounds)
+        )(val_clean, val_scores)
+        blurred_psnr = float(
+            -10.0 * jnp.log10(jnp.mean((val_degraded - val_clean) ** 2) / 255.0**2)
+        )
+        print(f"deblur val blurred-input psnr: {blurred_psnr:.3f}", flush=True)
+
+        @jax.jit
+        def val_psnr(p):
+            pred = model.apply(p, val_degraded, val_levels, b)
+            return -10.0 * jnp.log10(jnp.mean((pred - val_clean) ** 2) / 255.0**2)
+
     rng = jax.random.PRNGKey(1)
     t0 = time.time()
     for step in range(steps):
         rng, k1, k2 = jax.random.split(rng, 3)
         loss = trainer.step(make_batch(k1), k2)
+        ema = ema_update(ema, trainer.state.params)
+        if val_every > 0 and (step % val_every == 0 or step == steps - 1) and step > 0:
+            vp_now = float(val_psnr(ema))
+            mark = ""
+            if vp_now > best_psnr:
+                best_psnr, best_params = vp_now, jax.tree.map(lambda x: x, ema)
+                mark = " *best"
+            print(f"deblur step {step}: val psnr {vp_now:.3f}{mark}", flush=True)
         if step % log_every == 0 or step == steps - 1:
             print(f"deblur step {step}: loss {loss:.6f} ({time.time()-t0:.0f}s)")
+    if best_params is not None:
+        import dataclasses as _dc
+
+        trainer.state = _dc.replace(trainer.state, params=best_params)
+        print(f"deblur: saving best-EMA checkpoint (val psnr {best_psnr:.3f})",
+              flush=True)
     trainer.save("deblur")
     return trainer
 
@@ -254,7 +311,7 @@ def train_inpaint(steps: int, ckpt_dir: str, lr: float = 2e-4, frames: int = 8, 
     from elvis_tpu.models import InpaintNet
     from elvis_tpu.restore.inpaint import restore_removal_temporal
     from elvis_tpu.train import Trainer
-    from elvis_tpu.train.data import natural_video_batch
+    from elvis_tpu.train.data import natural_video_batch, photo_patch_pool
 
     b = 8
     by = patch // b
@@ -267,10 +324,33 @@ def train_inpaint(steps: int, ckpt_dir: str, lr: float = 2e-4, frames: int = 8, 
 
     from elvis_tpu.core.blocks import upsample_map
 
+    # Half the clips are camera pans over REAL photographs (same sources
+    # and train/val split as the SR/deblur recipes): large patches panned
+    # through a drifting window, so the propagation seed sees true photo
+    # statistics, not only dead leaves.
+    max_pan = 3
+    pad = max_pan * frames
+    pool = jnp.asarray(photo_patch_pool(patch + 2 * pad, True, 512, 2))
+
+    def photo_clip(rng):
+        k1, k2 = jax.random.split(rng)
+        scene = pool[jax.random.randint(k1, (), 0, pool.shape[0])]
+        steps_ = jax.random.randint(k2, (frames, 2), minval=-max_pan, maxval=max_pan + 1)
+        offsets = jnp.clip(jnp.cumsum(steps_, axis=0), -pad, pad) + pad
+
+        def crop(off):
+            return jax.lax.dynamic_slice(scene, (off[0], off[1], 0), (patch, patch, 3))
+
+        return jax.vmap(crop)(offsets)
+
     @jax.jit
     def make_batch(rng):
-        k1, k2 = jax.random.split(rng)
-        clip = natural_video_batch(k1, frames, patch, patch)
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        clip = jnp.where(
+            jax.random.bernoulli(k3),
+            photo_clip(k4),
+            natural_video_batch(k1, frames, patch, patch),
+        )
         mask = (jax.random.uniform(k2, (frames, by, by)) < 0.25).astype(jnp.int8)
         holes = upsample_map(mask, b)[..., None]
         holed = jnp.where(holes.astype(bool), 0.0, clip)

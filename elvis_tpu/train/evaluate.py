@@ -29,7 +29,7 @@ from typing import Callable, Dict, Optional
 
 import numpy as np
 
-__all__ = ["holdout_clips", "sr_holdout_eval", "main"]
+__all__ = ["holdout_clips", "sr_holdout_eval", "deblur_holdout_eval", "main"]
 
 _HOPPER = os.path.join(
     "matplotlib", "mpl-data", "sample_data", "grace_hopper.jpg"
@@ -134,22 +134,107 @@ def sr_holdout_eval(
     return results
 
 
+def deblur_holdout_eval(
+    deblur_fn: Callable,
+    *,
+    frames: int = 4,
+    size: int = 256,
+    block_size: int = 8,
+    max_rounds: int = 10,
+) -> Dict[str, Dict[str, float]]:
+    """Compare a deblur restorer against the classical unsharp baseline
+    and the blurred input on the same held-out families as
+    :func:`sr_holdout_eval`. ``deblur_fn(frames, levels, block_size)``.
+
+    Returns {family: {psnr_blurred, psnr_unsharp, psnr_neural,
+    dpsnr_vs_blurred, dpsnr_vs_unsharp, ...ssim}}.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from elvis_tpu.degrade import adaptive_blur
+    from elvis_tpu.metrics import masked_psnr, masked_ssim
+    from elvis_tpu.restore.unsharp import restore_blur_unsharp
+
+    results: Dict[str, Dict[str, float]] = {}
+
+    @jax.jit
+    def run_all(clean, degraded, levels):
+        us = restore_blur_unsharp(degraded, levels, block_size)
+        nn = deblur_fn(degraded, levels, block_size)
+        return (
+            masked_psnr(clean, degraded).mean(), masked_psnr(clean, us).mean(),
+            masked_psnr(clean, nn).mean(), masked_ssim(clean, degraded).mean(),
+            masked_ssim(clean, us).mean(), masked_ssim(clean, nn).mean(),
+        )
+
+    for family, clip in holdout_clips(frames, size).items():
+        clean = jnp.asarray(clip, dtype=jnp.float32)
+        by = size // block_size
+        scores = jax.random.uniform(jax.random.PRNGKey(7), (frames, by, by))
+        degraded, levels = jax.jit(
+            lambda a, s: adaptive_blur(a, s, block_size, max_rounds)
+        )(clean, scores)
+        p_in, p_us, p_nn, s_in, s_us, s_nn = (
+            float(v) for v in run_all(clean, degraded, levels)
+        )
+        results[family] = {
+            "psnr_blurred": round(p_in, 3),
+            "psnr_unsharp": round(p_us, 3),
+            "psnr_neural": round(p_nn, 3),
+            "dpsnr_vs_blurred": round(p_nn - p_in, 3),
+            "dpsnr_vs_unsharp": round(p_nn - p_us, 3),
+            "ssim_blurred": round(s_in, 4),
+            "ssim_unsharp": round(s_us, 4),
+            "ssim_neural": round(s_nn, 4),
+        }
+    return results
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="held-out SR eval vs Lanczos")
     p.add_argument("--ckpt", default="checkpoints/srnet")
-    p.add_argument("--model", choices=["srnet", "srnet_compact"], default=None,
-                   help="defaults from the ckpt dir name")
+    p.add_argument("--model", choices=["srnet", "srnet_compact", "deblur"],
+                   default=None, help="defaults from the ckpt dir name")
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--frames", type=int, default=4)
     p.add_argument("--json", dest="as_json", action="store_true")
     args = p.parse_args(argv)
 
+    import jax
     import jax.numpy as jnp
 
-    from elvis_tpu.models import SRNet, SRNetCompact, srnet_upsample_fn
+    from elvis_tpu.models import DeblurUNet, SRNet, SRNetCompact, srnet_upsample_fn
     from elvis_tpu.models.io import maybe_load_params
 
-    name = args.model or ("srnet_compact" if "compact" in args.ckpt else "srnet")
+    name = args.model or (
+        "deblur" if "deblur" in args.ckpt
+        else "srnet_compact" if "compact" in args.ckpt else "srnet"
+    )
+    if name == "deblur":
+        model = DeblurUNet()
+        params = jax.jit(lambda r, x, m: model.init(r, x, m, 8))(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 4, 4), jnp.int32),
+        )
+        import orbax.checkpoint as ocp
+
+        params = ocp.StandardCheckpointer().restore(
+            os.path.abspath(args.ckpt), params
+        )
+        res = deblur_holdout_eval(
+            lambda f, lv, b: model.apply(params, f, lv, b),
+            frames=args.frames, size=args.size,
+        )
+        if args.as_json:
+            print(json.dumps(res, indent=2))
+        else:
+            for fam, r in res.items():
+                print(f"{fam:14s} PSNR blur {r['psnr_blurred']:6.2f} unsharp "
+                      f"{r['psnr_unsharp']:6.2f} neural {r['psnr_neural']:6.2f} "
+                      f"({r['dpsnr_vs_blurred']:+.2f} vs blur, "
+                      f"{r['dpsnr_vs_unsharp']:+.2f} vs unsharp)")
+        return 0
     model = SRNetCompact() if name == "srnet_compact" else SRNet()
     params = maybe_load_params(model, args.ckpt, jnp.zeros((1, 32, 32, 3)))
     res = sr_holdout_eval(lambda f: model.apply(params, f),
