@@ -372,6 +372,15 @@ class TestMotionCompensation:
         mse_short = float(np.mean((ref.astype(np.float32) - pan) ** 2))
         assert mse_long <= mse_short * 1.1, (mse_long, mse_short)
 
+    def test_nvc_pipeline_codec_knobs_flow(self, tmp_path):
+        """config-level nvc_b_frames / nvc_me_radius reach the NVC
+        container through the dispatch layer."""
+        from elvis_tpu.codec.dispatch import make_pipeline_codec
+
+        c = make_pipeline_codec("nvc", str(tmp_path), 64, 48,
+                                nvc_b_frames=True, nvc_me_radius=9)
+        assert c._kw == {"b_frames": True, "me_radius": 9}
+
     def test_dc_dpcm_saves_bytes_and_is_lossless(self, rng, monkeypatch):
         """DC-level DPCM (JPEG-style) is a lossless entropy-side
         transform: identical decoded pixels, smaller stream on
