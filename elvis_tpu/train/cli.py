@@ -432,10 +432,15 @@ def train_perceptual(steps: int, ckpt_dir: str, lr: float = 1e-4, batch: int = 1
     from elvis_tpu.ops.filter import gaussian_blur
     from elvis_tpu.ops.resize import resize
     from elvis_tpu.train import Trainer
-    from elvis_tpu.train.data import codec_noise, natural_frames
+    from elvis_tpu.train.data import codec_noise, natural_frames, photo_patch_pool
 
     model = PerceptualNet()
     params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, patch, patch, 3)))
+
+    # half the ranking ladders sit on real photographs (same train pool
+    # as the restorer recipes) so the learned features are monotone on
+    # real content, not only procedural textures
+    pool = jnp.asarray(photo_patch_pool(patch, True, 1024, 3))
 
     def heavy_endpoints(rng, clean):
         """Per-family maximal distortions (the t=1 path endpoints)."""
@@ -449,8 +454,12 @@ def train_perceptual(steps: int, ckpt_dir: str, lr: float = 1e-4, batch: int = 1
 
     @jax.jit
     def make_batch(rng):
-        k1, k2, k3, k4 = jax.random.split(rng, 4)
-        clean = natural_frames(k1, batch, patch, patch)
+        k1, k2, k3, k4, k5, k6 = jax.random.split(rng, 6)
+        clean = jnp.where(
+            jax.random.bernoulli(k5, 0.5, (batch, 1, 1, 1)),
+            pool[jax.random.randint(k6, (batch,), 0, pool.shape[0])],
+            natural_frames(k1, batch, patch, patch),
+        )
         ends = heavy_endpoints(k2, clean)  # (4,B,...)
         fam = jax.random.randint(k3, (batch,), 0, ends.shape[0])
         end = ends[fam, jnp.arange(batch)]  # (B,H,W,3)
