@@ -311,7 +311,8 @@ def train_inpaint(steps: int, ckpt_dir: str, lr: float = 2e-4, frames: int = 8, 
     from elvis_tpu.models import InpaintNet
     from elvis_tpu.restore.inpaint import restore_removal_temporal
     from elvis_tpu.train import Trainer
-    from elvis_tpu.train.data import natural_video_batch, photo_patch_pool
+    from elvis_tpu.train.data import (
+        natural_video_batch, photo_patch_pool, photo_video_batch)
 
     b = 8
     by = patch // b
@@ -329,26 +330,14 @@ def train_inpaint(steps: int, ckpt_dir: str, lr: float = 2e-4, frames: int = 8, 
     # through a drifting window, so the propagation seed sees true photo
     # statistics, not only dead leaves.
     max_pan = 3
-    pad = max_pan * frames
-    pool = jnp.asarray(photo_patch_pool(patch + 2 * pad, True, 512, 2))
-
-    def photo_clip(rng):
-        k1, k2 = jax.random.split(rng)
-        scene = pool[jax.random.randint(k1, (), 0, pool.shape[0])]
-        steps_ = jax.random.randint(k2, (frames, 2), minval=-max_pan, maxval=max_pan + 1)
-        offsets = jnp.clip(jnp.cumsum(steps_, axis=0), -pad, pad) + pad
-
-        def crop(off):
-            return jax.lax.dynamic_slice(scene, (off[0], off[1], 0), (patch, patch, 3))
-
-        return jax.vmap(crop)(offsets)
+    pool = jnp.asarray(photo_patch_pool(patch + 2 * max_pan * frames, True, 512, 2))
 
     @jax.jit
     def make_batch(rng):
         k1, k2, k3, k4 = jax.random.split(rng, 4)
         clip = jnp.where(
             jax.random.bernoulli(k3),
-            photo_clip(k4),
+            photo_video_batch(k4, pool, frames, patch, patch, max_pan),
             natural_video_batch(k1, frames, patch, patch),
         )
         mask = (jax.random.uniform(k2, (frames, by, by)) < 0.25).astype(jnp.int8)
@@ -501,14 +490,23 @@ def train_saliency(steps: int, ckpt_dir: str, lr: float = 1e-3, frames: int = 8,
     from elvis_tpu.models import SaliencyNet
     from elvis_tpu.scoring import motion_contrast_saliency
     from elvis_tpu.train import Trainer
-    from elvis_tpu.train.data import synthetic_video_batch
+    from elvis_tpu.train.data import (
+        photo_patch_pool, photo_video_batch, synthetic_video_batch)
 
     model = SaliencyNet()
     params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((frames, patch, patch, 3)))
 
+    max_pan = 3
+    pool = jnp.asarray(photo_patch_pool(patch + 2 * max_pan * frames, True, 256, 4))
+
     @jax.jit
     def make_batch(rng):
-        clip = synthetic_video_batch(rng, frames, patch, patch)
+        k1, k2, k3 = jax.random.split(rng, 3)
+        clip = jnp.where(
+            jax.random.bernoulli(k2, 0.3),
+            photo_video_batch(k3, pool, frames, patch, patch, max_pan),
+            synthetic_video_batch(k1, frames, patch, patch),
+        )
         target = motion_contrast_saliency(clip)
         return clip, target
 

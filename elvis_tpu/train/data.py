@@ -26,6 +26,7 @@ __all__ = [
     "natural_video_batch",
     "codec_noise",
     "photo_patch_pool",
+    "photo_video_batch",
 ]
 
 
@@ -298,3 +299,23 @@ def photo_patch_pool(
             p = np.swapaxes(p, 0, 1)
         out[i] = p
     return out
+
+
+def photo_video_batch(rng, pool, frames: int, height: int, width: int,
+                      max_pan: int = 3):
+    """A camera pan over a REAL photograph: pick a scene from ``pool``
+    ((K, height+2*pad, width+2*pad, 3), pad = max_pan*frames — build it
+    with ``photo_patch_pool(size + 2*max_pan*frames, ...)``) and crop a
+    drifting window. The photographic counterpart of
+    :func:`natural_video_batch`; jit-friendly (static shapes, dynamic
+    slicing)."""
+    pad = max_pan * frames
+    k1, k2 = jax.random.split(rng)
+    scene = pool[jax.random.randint(k1, (), 0, pool.shape[0])]
+    steps = jax.random.randint(k2, (frames, 2), minval=-max_pan, maxval=max_pan + 1)
+    offsets = jnp.clip(jnp.cumsum(steps, axis=0), -pad, pad) + pad
+
+    def crop(off):
+        return jax.lax.dynamic_slice(scene, (off[0], off[1], 0), (height, width, 3))
+
+    return jax.vmap(crop)(offsets)
