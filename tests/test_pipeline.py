@@ -310,6 +310,28 @@ class TestExternalCodecDispatch:
 
 
 @pytest.mark.slow
+class TestNvcPipelineKnobs:
+    def test_b_frames_and_long_me_through_run_elvis(self, tmp_path):
+        """nvc_b_frames + a hierarchical-search radius survive the whole
+        pipeline: every approach row exists and decodes to full-schema
+        metrics (the v3 container and coarse-to-fine ME run e2e)."""
+        config = ElvisConfig(
+            reference_video="synthetic://moving?frames=6&fps=24",
+            width=64, height=48, block_size=8,
+            experiment_dir=str(tmp_path / "exp"),
+            enable_fvmd=False, enable_vmaf=False,
+            generate_opencv_benchmarks=False,
+            target_bitrate_override=100_000,
+            nvc_b_frames=True, nvc_me_radius=9,
+        )
+        results = run_elvis(config)
+        for label in (APPROACHES.BASELINE, APPROACHES.PRESLEY_QP,
+                      APPROACHES.PRESLEY_REALESRGAN):
+            assert "psnr_mean" in results[label]["foreground"], label
+            assert results[label]["bitrate_mbps"] > 0
+
+
+@pytest.mark.slow
 class TestMetricParityKnobs:
     def test_video_sidecar_and_fvmd_std(self, tmp_path):
         """strength_maps_use_npz=False writes the video sidecar (.nvsv)
