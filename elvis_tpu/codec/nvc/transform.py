@@ -79,6 +79,24 @@ def _dequantize(levels: jnp.ndarray, qstep: jnp.ndarray) -> jnp.ndarray:
     return levels.astype(jnp.float32) * qstep[..., None, None]
 
 
+def _rd_cost(levels: jnp.ndarray, coeffs: jnp.ndarray, qstep: jnp.ndarray) -> jnp.ndarray:
+    """Per-block rate-distortion cost D + lambda*R for mode decision.
+
+    D = transform-domain quantization SSD (orthonormal DCT, so equal to
+    pixel-domain SSD by Parseval); R = a bit estimate matching the range
+    coder's binarization (sign + adaptive-unary length + mantissa per
+    significant coefficient, a small floor for coded zeros);
+    lambda = 0.85 * Qstep^2, the H.264 high-rate Lagrangian. Replaces
+    the round-1 L1-coefficient proxy, which over-picked inter modes with
+    many small costly coefficients."""
+    rec = levels.astype(jnp.float32) * qstep[..., None, None]
+    dist = ((rec - coeffs) ** 2).sum(axis=(-2, -1))
+    mag = jnp.abs(levels).astype(jnp.float32)
+    bits = jnp.where(mag > 0, 2.0 * jnp.ceil(jnp.log2(mag + 1.0)) + 2.0, 0.05)
+    lam = 0.85 * qstep * qstep
+    return dist + lam * bits.sum(axis=(-2, -1))
+
+
 def _motion_search(prev_recon: jnp.ndarray, cur_blocks: jnp.ndarray, radius: int, step: int):
     """Full-search block motion on the previous reconstruction.
 
@@ -375,11 +393,13 @@ def encode_plane(
         pred = _motion_predict(recon_prev, mv, reach=reach)  # (By,Bx,8,8)
 
         res_inter = blocks - pred
-        lv_intra = _quantize(block_dct2(blocks), qs)
-        lv_inter = _quantize(block_dct2(res_inter), qs)
+        c_intra = block_dct2(blocks)
+        c_inter = block_dct2(res_inter)
+        lv_intra = _quantize(c_intra, qs)
+        lv_inter = _quantize(c_inter, qs)
 
-        cost_intra = jnp.abs(lv_intra).sum(axis=(-2, -1))
-        cost_inter = jnp.abs(lv_inter).sum(axis=(-2, -1))
+        cost_intra = _rd_cost(lv_intra, c_intra, qs)
+        cost_inter = _rd_cost(lv_inter, c_inter, qs)
         use_inter = jnp.logical_and(cost_inter <= cost_intra, ~intra_only)
 
         lv = jnp.where(use_inter[..., None, None], lv_inter, lv_intra)
@@ -509,6 +529,10 @@ def encode_plane_b(
             pb = _motion_predict(rb, mvb, reach=reach)
             pbi = 0.5 * (pf + pb)
             preds = jnp.stack([jnp.zeros_like(pf), pf, pb, pbi])  # (4,By,Bx,b,b)
+            # B-mode selection keeps the L1-coefficient proxy: the RD cost
+            # measured bit-inefficient here (it trades ~10x more bytes per
+            # dB than the QP ladder — bi/backward residuals are cheap in
+            # distortion but their coefficients+vectors are not free).
             lvs = jnp.stack([_quantize(block_dct2(blocks - p), qs) for p in preds])
             costs = jnp.abs(lvs).sum(axis=(-2, -1))  # (4,By,Bx)
             mode = jnp.argmin(jnp.moveaxis(costs, 0, -1), axis=-1)  # (By,Bx)
