@@ -98,7 +98,7 @@ def _chroma_qp(luma_qp: np.ndarray) -> np.ndarray:
     return np.clip(np.round(q), 0, 51).astype(np.int32)
 
 
-_decode_plane_jit = jax.jit(decode_plane, static_argnums=(4, 5, 6))
+_decode_plane_jit = jax.jit(decode_plane, static_argnums=(4, 5, 6, 7))
 
 
 def _reach_of(mvs: np.ndarray) -> int:
@@ -108,11 +108,12 @@ def _reach_of(mvs: np.ndarray) -> int:
     return max(1, -(-m // (2 * BLOCK)))
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11))
 def _encode_planes_jit(y, cb, cr, qp_y, qp_c, gop, me_radius, me_step, me_halfpel,
-                       b_frames=False, b_qp_offset=2):
+                       b_frames=False, b_qp_offset=2, multi_ref=False):
     enc = encode_plane_b if b_frames else encode_plane
-    kw = dict(gop=gop, me_radius=me_radius, me_step=me_step, me_halfpel=me_halfpel)
+    kw = dict(gop=gop, me_radius=me_radius, me_step=me_step, me_halfpel=me_halfpel,
+              multi_ref=multi_ref)
     if b_frames:
         kw["b_qp_offset"] = b_qp_offset
     ly, my, vy, _ = enc(y, qp_y, **kw)
@@ -127,7 +128,10 @@ def _pack_section(backend: int, payload: bytes) -> bytes:
     return struct.pack("<BI", backend, len(payload)) + payload
 
 
-_DC_DPCM_FLAG = 2  # OR'ed into a coeff section's backend byte
+# OR'ed into a coeff section's backend byte. The high bit is RESERVED for
+# this flag so future entropy backend ids (entropy.BACKEND_*) can grow to
+# 0x7F without colliding; encode() asserts the invariant.
+_DC_DPCM_FLAG = 0x80
 
 
 def _dc_dpcm(coeff_zz: np.ndarray, blocks_per_frame: int) -> Optional[np.ndarray]:
@@ -170,8 +174,27 @@ def encode(
     me_halfpel: bool = True,
     b_frames: bool = False,
     b_qp_offset: int = 2,
+    multi_ref: bool = False,
 ) -> bytes:
-    """frames ``(N, H, W, 3)`` uint8 RGB -> NVC bitstream bytes."""
+    """frames ``(N, H, W, 3)`` uint8 RGB -> NVC bitstream bytes.
+
+    ``multi_ref``: H.264-style two-reference P prediction (per-block
+    selection between the previous and two-back reconstructions, mode
+    MODE_INTER_REF2). Stream-compatible: the decoder engages the two-ref
+    path iff mode 2 appears on P frames, so no header change.
+
+    Memory note: motion search materializes per-block ``(By, Bx, W, W)``
+    prediction neighbourhoods with ``W = (2*reach+1)*8`` where
+    ``reach = ceil(me_radius/8)+1`` — ~3 GB per 1080p frame at the format
+    ceiling ``me_radius=56`` (reach 9), further multiplied by the vmapped
+    B-frame batch. Practical bound on large frames: ``me_radius <= ~24``
+    (reach 4) at 1080p, less with ``b_frames``; the hierarchical search
+    keeps long-range motion cheap at those radii.
+    """
+    if b_frames and not (0 <= int(b_qp_offset) <= 254):
+        # the header stores (1 + b_qp_offset) in one byte; -1 would encode
+        # as 0 = "P-only" and silently mis-parse the mv sections
+        raise ValueError(f"b_qp_offset must be in [0, 254], got {b_qp_offset}")
     frames = np.asarray(frames)
     n, orig_h, orig_w, _ = frames.shape
     padded = _pad_to(frames, _PAD)
@@ -187,7 +210,7 @@ def encode(
         _encode_planes_jit(
             y, cb, cr, jnp.asarray(qp_y), jnp.asarray(qp_c),
             int(gop), me_radius, me_step, me_halfpel, bool(b_frames),
-            int(b_qp_offset),
+            int(b_qp_offset), bool(multi_ref),
         ),
     )
     ly, lcb, lcr = (a.astype(np.int16) for a in (ly, lcb, lcr))
@@ -230,9 +253,11 @@ def encode(
         dpcm = _dc_dpcm(coeff_zz, bpf)
         if dpcm is not None:
             bk_c, pl_c = entropy.encode_coeffs(dpcm, BLOCK * BLOCK)
+            assert bk_c < _DC_DPCM_FLAG, "entropy backend id collides with DPCM flag"
             parts.append(_pack_section(bk_c | _DC_DPCM_FLAG, pl_c))
         else:
             bk_c, pl_c = entropy.encode_coeffs(coeff_zz, BLOCK * BLOCK)
+            assert bk_c < _DC_DPCM_FLAG, "entropy backend id collides with DPCM flag"
             parts.append(_pack_section(bk_c, pl_c))
     return b"".join(parts)
 
@@ -252,7 +277,7 @@ def _read_header(stream: bytes):
     return version, has_roi, w, h, n, fps, qp, gop, int(bfr), 4 + struct.calcsize(fmt)
 
 
-_decode_plane_b_jit = jax.jit(decode_plane_b, static_argnums=(4, 5, 6, 7))
+_decode_plane_b_jit = jax.jit(decode_plane_b, static_argnums=(4, 5, 6, 7, 8))
 
 
 def decode(stream: bytes) -> Tuple[np.ndarray, float]:
@@ -308,16 +333,24 @@ def decode(stream: bytes) -> Tuple[np.ndarray, float]:
         planes.append((levels, modes.astype(np.int8), mvs))
 
     (ly, my, vy), (lcb, mcb, vcb), (lcr, mcr, vcr) = planes
+
+    def _mref(modes):
+        """mode 2 on the P chain => the stream used multi-reference P
+        (on B streams odd-frame mode 2 is the backward reference, so only
+        even frames are inspected)."""
+        p_modes = modes[::2] if bfr else modes
+        return bool((p_modes == 2).any())
+
     if bfr:
         boff = bfr - 1
-        dec = lambda *a: _decode_plane_b_jit(*a, boff)
+        dec = lambda *a: _decode_plane_b_jit(*a[:-1], boff, a[-1])
     else:
         dec = _decode_plane_jit
     # host->device as float32 (int16 transfers are pathologically slow here)
     as_f32 = lambda a: jnp.asarray(a.astype(np.float32))
-    y = dec(as_f32(ly), jnp.asarray(my), jnp.asarray(vy), jnp.asarray(qp_y), h, w, _reach_of(vy))
-    cb = dec(as_f32(lcb), jnp.asarray(mcb), jnp.asarray(vcb), jnp.asarray(qp_c), h // 2, w // 2, _reach_of(vcb))
-    cr = dec(as_f32(lcr), jnp.asarray(mcr), jnp.asarray(vcr), jnp.asarray(qp_c), h // 2, w // 2, _reach_of(vcr))
+    y = dec(as_f32(ly), jnp.asarray(my), jnp.asarray(vy), jnp.asarray(qp_y), h, w, _reach_of(vy), _mref(my))
+    cb = dec(as_f32(lcb), jnp.asarray(mcb), jnp.asarray(vcb), jnp.asarray(qp_c), h // 2, w // 2, _reach_of(vcb), _mref(mcb))
+    cr = dec(as_f32(lcr), jnp.asarray(mcr), jnp.asarray(vcr), jnp.asarray(qp_c), h // 2, w // 2, _reach_of(vcr), _mref(mcr))
     rgb = yuv420_to_rgb(y, cb, cr)
     rgb = jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
     return np.asarray(rgb[:, :orig_h, :orig_w]), float(fps)
@@ -325,8 +358,10 @@ def decode(stream: bytes) -> Tuple[np.ndarray, float]:
 
 def luma_modes(stream: bytes) -> np.ndarray:
     """Tooling/tests: per-block luma prediction modes ``(N, By, Bx)`` int8
-    (MODE_INTRA=0 / MODE_INTER=1) parsed from a container stream — lets
-    container-level tests assert GOP periodic-intra behaviour."""
+    parsed from a container stream — lets container-level tests assert GOP
+    periodic-intra behaviour. P-only streams carry MODE_INTRA=0 /
+    MODE_INTER=1; v3 ``b_frames`` streams additionally carry
+    MODE_INTER_BWD=2 / MODE_INTER_BI=3 on odd (B) frames."""
     _, has_roi, orig_w, orig_h, n, _, _, _, _, off = _read_header(stream)
     buf = memoryview(stream)
     h = orig_h + ((-orig_h) % _PAD)
@@ -365,12 +400,13 @@ class NvcCodec:
         me_halfpel: bool = True,
         b_frames: bool = False,
         b_qp_offset: int = 2,
+        multi_ref: bool = False,
     ) -> bytes:
         if (qp is None) == (target_bitrate is None):
             raise ValueError("specify exactly one of qp / target_bitrate")
         kw = dict(framerate=framerate, roi_delta_qp=roi_delta_qp, gop=gop,
                   me_radius=me_radius, me_step=me_step, me_halfpel=me_halfpel,
-                  b_frames=b_frames, b_qp_offset=b_qp_offset)
+                  b_frames=b_frames, b_qp_offset=b_qp_offset, multi_ref=multi_ref)
         if qp is not None:
             return encode(frames, qp=qp, **kw)
 

@@ -89,9 +89,14 @@ def make_hybrid_mesh(
     (name, size) tile the devices inside each process/slice.
 
     Single process: plain ``make_mesh(((dcn_axis, -1), *ici_axes))``.
-    Multi-process: ``mesh_utils.create_hybrid_device_mesh`` so device
-    order keeps intra-slice neighbours adjacent along the ICI axes and
-    only ``dcn_axis`` crosses the slice boundary.
+    Multi-process: devices are grouped by ``process_index`` and stacked
+    process-major along ``dcn_axis``, so each process's devices form
+    contiguous data rows and the ICI axes never cross the process (DCN)
+    boundary — the same placement ``mesh_utils.create_hybrid_device_mesh``
+    produces for one slice per process, built directly from
+    ``process_index`` because slice topology metadata is not available on
+    every platform. Requires every process to report the SAME local device
+    count (rectangular mesh); raises otherwise.
     """
     ici_axes = tuple(ici_axes)
     names = (dcn_axis,) + tuple(n for n, _ in ici_axes)
@@ -112,6 +117,12 @@ def make_hybrid_mesh(
     groups: dict = {}
     for d in jax.devices():
         groups.setdefault(d.process_index, []).append(d)
+    counts = {p: len(ds) for p, ds in groups.items()}
+    if len(set(counts.values())) > 1:
+        raise ValueError(
+            f"processes report unequal local device counts {counts}; "
+            "a rectangular hybrid mesh needs the same count per process"
+        )
     blocks = [
         np.asarray(groups[p]).reshape([len(groups[p]) // known] + ici_sizes)
         for p in sorted(groups)
