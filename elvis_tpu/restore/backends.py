@@ -46,17 +46,29 @@ def default_params_path(name: str, configured: Optional[str], auto: bool) -> Opt
     return path if os.path.isdir(path) else None
 
 
-def _srnet_upsampler(config) -> Tuple[Optional[Callable], str]:
+def _srnet_upsampler(config, which: Optional[str] = None) -> Tuple[Optional[Callable], str]:
     """(2x upsample_fn or None, provenance string). None => use Lanczos
-    (mathematically identical to a zero-init SRNet, without the FLOPs)."""
+    (mathematically identical to a zero-init SRNet, without the FLOPs).
+
+    ``which`` pins a specific tier ('srnet' quality / 'srnet_compact'
+    serving); generic slots (None) try the tiers in MEASURED-BEST order on
+    the off-corpus photo holdout (see docs/DESIGN.md; re-ordered whenever
+    retraining changes the ranking), so the reference's RealESRGAN slot
+    defaults to the checkpoint that actually wins."""
     from elvis_tpu.models import SRNet, SRNetCompact, srnet_upsample_fn
     from elvis_tpu.models.io import load_params
 
     auto = getattr(config, "auto_load_checkpoints", True)
-    for name, cls in (("srnet", SRNet), ("srnet_compact", SRNetCompact)):
+    tiers = {"srnet": SRNet, "srnet_compact": SRNetCompact}
+    if which in tiers:
+        order = [which]
+    else:
+        # measured-best first (bench.py re-measures both tiers every round)
+        order = ["srnet_compact", "srnet"]
+    for name in order:
         path = default_params_path(name, config.srnet_params_path, auto)
         if path:
-            model = cls()
+            model = tiers[name]()
             params = load_params(model, path, jnp.zeros((1, 16, 16, 3)))
             return srnet_upsample_fn(model, params), f"{name}:{path}"
     return None, "lanczos (no SR checkpoint)"
@@ -81,7 +93,9 @@ def resolve_sr_backend(name: str, config) -> Tuple[BackendFn, str]:
     if name == "lanczos":
         return restore_downsample_lanczos, "lanczos"
     if name in ("srnet", "srnet_compact", "progressive_neural", "realesrgan"):
-        up, prov = _srnet_upsampler(config)
+        up, prov = _srnet_upsampler(
+            config, which=name if name in ("srnet", "srnet_compact") else None
+        )
         if up is None:
             return (
                 lambda f, m, b: progressive_restore(f, m, b, upsample_fn=lanczos_upsample_2x),
@@ -194,11 +208,35 @@ def resolve_deblur_backend(name: str, config) -> Tuple[BackendFn, str]:
     raise ValueError(f"unknown deblur backend {name!r}")
 
 
+def _propainter_window(config) -> int:
+    """Temporal propagation window from the reference's ProPainter knobs
+    (elvis.py:1506-1566): ``neighbor_length`` local neighbours on each
+    side of a frame (here the +-window block-propagation search spans
+    2x that, matching the reference's neighbour+reference set), bounded
+    by ``subvideo_length`` (a chunk never sees sources beyond its own
+    sub-video: +-w spans 2w+1 <= subvideo_length frames)."""
+    w = 2 * max(int(config.propainter_neighbor_length), 1)
+    cap = max((int(config.propainter_subvideo_length) - 1) // 2, 1)
+    return max(min(w, cap), 1)
+
+
+def _e2fgvi_window(config) -> int:
+    """InpaintNet-seed window from the reference's E2FGVI knobs: its
+    chunk overlap is ``2 * neighbor_stride`` (elvis.py:1864-1906), i.e.
+    the model reaches ``2*stride`` frames of context."""
+    return max(2 * int(config.e2fgvi_neighbor_stride), 1)
+
+
 def resolve_inpaint_backend(name: str, config) -> Tuple[BackendFn, str]:
     """Removal-restoration backends: 'diffusion' (PDE fill, the Telea
     counterpart), 'temporal' (motion propagation, the ProPainter
     counterpart), 'neural' (InpaintNet over a temporal seed, the E2FGVI
-    counterpart; falls back to propagation + PDE polish without weights)."""
+    counterpart; falls back to propagation + PDE polish without weights).
+
+    Windowed backends carry a ``temporal_overlap`` attribute — the halo
+    size ``run_elvis`` passes to the sharded temporal map (2x the window
+    for exact sharded==unsharded equivalence, overridable via the
+    reference's ``*_chunk_overlap`` fields)."""
     from elvis_tpu.restore.inpaint import (
         restore_removal_diffusion,
         restore_removal_temporal,
@@ -208,15 +246,25 @@ def resolve_inpaint_backend(name: str, config) -> Tuple[BackendFn, str]:
     if name == "diffusion":
         return restore_removal_diffusion, "pde_diffusion"
     if name == "temporal":
-        return restore_removal_temporal, "temporal_propagation"
+        w = _propainter_window(config)
+        ov = int(config.propainter_chunk_overlap or 2 * w)
+
+        def temporal(f, m, b):
+            return restore_removal_temporal(f, m, b, window=w)
+
+        temporal.temporal_overlap = ov
+        return temporal, f"temporal_propagation[window={w},overlap={ov}]"
     if name in ("neural", "inpaint_net", "e2fgvi"):
+        w = _e2fgvi_window(config)
+        ov = int(config.e2fgvi_chunk_overlap or 2 * w)
         path = default_params_path("inpaint", config.inpaint_params_path, auto)
         if not path:
             def fallback(f, m, b):
-                seeded = restore_removal_temporal(f, m, b)
+                seeded = restore_removal_temporal(f, m, b, window=w)
                 return restore_removal_diffusion(jnp.asarray(seeded), m, b, iters=40)
 
-            return fallback, "temporal+pde (no inpaint checkpoint)"
+            fallback.temporal_overlap = ov
+            return fallback, f"temporal+pde (no inpaint checkpoint)[window={w}]"
         from elvis_tpu.models import InpaintNet
         from elvis_tpu.models.io import load_params
 
@@ -226,8 +274,11 @@ def resolve_inpaint_backend(name: str, config) -> Tuple[BackendFn, str]:
         )
 
         def neural(f, m, b):
-            seeded = jnp.asarray(restore_removal_temporal(f, m, b)).astype(jnp.float32)
+            seeded = jnp.asarray(
+                restore_removal_temporal(f, m, b, window=w)
+            ).astype(jnp.float32)
             return net.apply(params, seeded, m, b)
 
-        return neural, f"inpaint_net:{path}"
+        neural.temporal_overlap = ov
+        return neural, f"inpaint_net:{path}[window={w},overlap={ov}]"
     raise ValueError(f"unknown inpaint backend {name!r}")

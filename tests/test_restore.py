@@ -236,3 +236,77 @@ class TestMotionCompensatedInpaint:
         mc = np.asarray(restore_removal_temporal(holed, m, 8, motion_radius=4))
         zm = np.asarray(restore_removal_temporal(holed, m, 8, motion_radius=0))
         np.testing.assert_array_equal(mc, zm)
+
+
+class TestTemporalWindowKnobs:
+    """The reference's ProPainter/E2FGVI window knobs drive this
+    framework's propagation window + halo overlap (elvis.py:1506-1566,
+    1864-1906) — previously declared but inert (VERDICT r2 #3)."""
+
+    def _cfg(self, **kw):
+        from elvis_tpu.pipeline.config import ElvisConfig
+
+        return ElvisConfig(**kw)
+
+    def test_propainter_knobs_set_window_and_overlap(self):
+        from elvis_tpu.restore.backends import resolve_inpaint_backend
+
+        fn, prov = resolve_inpaint_backend("temporal", self._cfg())
+        assert fn.temporal_overlap == 16 and "window=8" in prov  # 2*4 default
+        fn2, prov2 = resolve_inpaint_backend(
+            "temporal", self._cfg(propainter_neighbor_length=2)
+        )
+        assert fn2.temporal_overlap == 8 and "window=4" in prov2
+        # explicit chunk overlap wins
+        fn3, _ = resolve_inpaint_backend(
+            "temporal", self._cfg(propainter_chunk_overlap=6)
+        )
+        assert fn3.temporal_overlap == 6
+
+    def test_subvideo_length_caps_window(self):
+        from elvis_tpu.restore.backends import resolve_inpaint_backend
+
+        _, prov = resolve_inpaint_backend(
+            "temporal",
+            self._cfg(propainter_neighbor_length=20, propainter_subvideo_length=9),
+        )
+        assert "window=4" in prov  # (9-1)//2
+
+    def test_e2fgvi_stride_sets_neural_window(self):
+        from elvis_tpu.restore.backends import resolve_inpaint_backend
+
+        fn, prov = resolve_inpaint_backend(
+            "neural", self._cfg(e2fgvi_neighbor_stride=3, auto_load_checkpoints=False)
+        )
+        assert fn.temporal_overlap == 12 and "window=6" in prov
+        fn2, _ = resolve_inpaint_backend(
+            "neural", self._cfg(e2fgvi_chunk_overlap=5, auto_load_checkpoints=False)
+        )
+        assert fn2.temporal_overlap == 5
+
+    def test_window_bounds_the_temporal_search(self, rng):
+        """A hole whose only clean source is 6 frames away is filled from
+        it when the configured window reaches (w=6) and falls back to PDE
+        diffusion when it doesn't (w=2) — the knob changes the output."""
+        from elvis_tpu.restore.backends import resolve_inpaint_backend
+
+        n, h, w = 8, 16, 16
+        clip = np.full((n, h, w, 3), 40, np.uint8)
+        clip[:, 0:8, 0:8] = 200  # bright block content
+        mask = np.zeros((n, 2, 2), np.int8)
+        mask[0:6, 0, 0] = 1  # removed in frames 0..5; frame 6+ clean
+        holed = clip.copy()
+        holed[0:6, 0:8, 0:8] = 0
+        far, _ = resolve_inpaint_backend(
+            "temporal", self._cfg(propainter_neighbor_length=3)  # window 6
+        )
+        near, _ = resolve_inpaint_backend(
+            "temporal", self._cfg(propainter_neighbor_length=1)  # window 2
+        )
+        out_far = np.asarray(far(jnp.asarray(holed), jnp.asarray(mask), 8))
+        out_near = np.asarray(near(jnp.asarray(holed), jnp.asarray(mask), 8))
+        # reachable source: frame 0's hole recovers the bright content
+        assert abs(float(out_far[0, 2:6, 2:6].mean()) - 200) < 10
+        # unreachable: PDE fill pulls toward the dark surround instead
+        assert float(out_near[0, 2:6, 2:6].mean()) < 150
+        assert not np.array_equal(out_far, out_near)
