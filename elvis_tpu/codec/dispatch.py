@@ -83,9 +83,11 @@ class PipelineCodec:
 class NvcPipelineCodec(PipelineCodec):
     name = "nvc"
 
-    def __init__(self, *, b_frames: bool = False, me_radius: int = 4):
+    def __init__(self, *, b_frames: bool = False, me_radius: int = 4,
+                 multi_ref: bool = False):
         self._codec = NvcCodec()
-        self._kw = dict(b_frames=b_frames, me_radius=me_radius)
+        self._kw = dict(b_frames=b_frames, me_radius=me_radius,
+                        multi_ref=multi_ref)
 
     def encode(self, frames, *, target_bitrate, framerate, gop):
         return self._codec.encode(
@@ -188,9 +190,55 @@ class X265PipelineCodec(_ExternalBase):
         return self._read_back(out, frames)
 
 
+class _RateModel:
+    """target_bitrate -> HEVC QP via the NVC probe-and-refine rate model
+    (codec/nvc/codec.py:377-403's law applied to a hermetic probe encode).
+
+    kvazaar/SVT-AV1 expose QP/CRF, not a bitrate target; the reference's
+    primary operating mode is bitrate-targeted two-pass encoding
+    (elvis.py:1226-1322), so their rows were not rate-comparable to the
+    x265/NVC rows. The probe encodes a short prefix of the actual clip
+    with the built-in NVC codec at QP 32 and maps the target through the
+    ~6-QP-per-bits-doubling law — content-adaptive, deterministic, and
+    available even under the fake-codec shim (NVC needs no binaries)."""
+
+    PROBE_QP = 32
+    PROBE_FRAMES = 8
+
+    def __init__(self):
+        self._cache: Dict = {}
+
+    def hevc_qp(self, frames: np.ndarray, target_bitrate: float,
+                framerate: float) -> int:
+        frames = np.asarray(frames)
+        n = min(self.PROBE_FRAMES, frames.shape[0])
+        key = (frames.shape, int(frames[:n:2].astype(np.int64).sum()),
+               int(target_bitrate))
+        if key not in self._cache:
+            from elvis_tpu.codec.nvc.codec import encode as nvc_encode
+
+            bits = len(nvc_encode(frames[:n], qp=self.PROBE_QP,
+                                  framerate=framerate)) * 8
+            target_bits = max(target_bitrate * n / framerate, 1.0)
+            self._cache[key] = int(
+                np.clip(round(self.PROBE_QP + 6 * np.log2(bits / target_bits)),
+                        0, 51)
+            )
+        return self._cache[key]
+
+    def av1_crf(self, frames: np.ndarray, target_bitrate: float,
+                framerate: float) -> int:
+        # AV1's CRF scale is 0-63 over the same perceptual range as HEVC's
+        # 0-51 QP: rescale linearly.
+        qp = self.hevc_qp(frames, target_bitrate, framerate)
+        return int(np.clip(round(qp * 63 / 51), 1, 63))
+
+
 class KvazaarPipelineCodec(_ExternalBase):
-    """kvazaar -q QP [--roi roi.bin] -> mkvmerge -> mp4 (utils.py:465-517);
-    rate selection by named quality preset (utils.py:54-60)."""
+    """kvazaar -q QP [--roi roi.bin] -> mkvmerge -> mp4 (utils.py:465-517).
+    QP from the NVC rate model when a target_bitrate is given (the
+    reference's bitrate-targeted mode), else the named quality preset
+    (utils.py:54-60, presley.py's mode)."""
 
     name = "kvazaar"
 
@@ -199,24 +247,36 @@ class KvazaarPipelineCodec(_ExternalBase):
         preset = QUALITY_PRESETS[quality]
         self.qp = preset["kvazaar_qp"]
         self.qp_range = preset["qp_range"]
+        self._rate = _RateModel()
+
+    def _pick_qp(self, frames, target_bitrate, framerate) -> int:
+        if target_bitrate:
+            return self._rate.hevc_qp(frames, target_bitrate, framerate)
+        return self.qp
 
     def encode(self, frames, *, target_bitrate, framerate, gop):
         out = self._next_path(".mp4")
-        encode_kvazaar(np.asarray(frames), out, framerate, qp=self.qp)
+        encode_kvazaar(np.asarray(frames), out, framerate,
+                       qp=self._pick_qp(frames, target_bitrate, framerate),
+                       gop=gop)
         return self._read_back(out, frames)
 
     def encode_roi(self, frames, *, removability, importance, block_size,
                    roi_qp_range, target_bitrate, framerate, gop):
         out = self._next_path(".mp4")
         encode_kvazaar(
-            np.asarray(frames), out, framerate, qp=self.qp,
+            np.asarray(frames), out, framerate,
+            qp=self._pick_qp(frames, target_bitrate, framerate),
             qp_range=self.qp_range, importance_scores=np.asarray(importance),
+            gop=gop,
         )
         return self._read_back(out, frames)
 
 
 class SvtAv1PipelineCodec(_ExternalBase):
-    """SvtAv1EncApp --crf [--roi-map-file] -> IVF -> mp4 (utils.py:520-565)."""
+    """SvtAv1EncApp --crf [--roi-map-file] -> IVF -> mp4 (utils.py:520-565).
+    CRF from the NVC rate model when a target_bitrate is given, else the
+    named quality preset."""
 
     name = "svtav1"
 
@@ -225,18 +285,28 @@ class SvtAv1PipelineCodec(_ExternalBase):
         preset = QUALITY_PRESETS[quality]
         self.crf = preset["svtav1_crf"]
         self.qp_range = preset["qp_range"]
+        self._rate = _RateModel()
+
+    def _pick_crf(self, frames, target_bitrate, framerate) -> int:
+        if target_bitrate:
+            return self._rate.av1_crf(frames, target_bitrate, framerate)
+        return self.crf
 
     def encode(self, frames, *, target_bitrate, framerate, gop):
         out = self._next_path(".mp4")
-        encode_svtav1(np.asarray(frames), out, framerate, crf=self.crf)
+        encode_svtav1(np.asarray(frames), out, framerate,
+                      crf=self._pick_crf(frames, target_bitrate, framerate),
+                      gop=gop)
         return self._read_back(out, frames)
 
     def encode_roi(self, frames, *, removability, importance, block_size,
                    roi_qp_range, target_bitrate, framerate, gop):
         out = self._next_path(".mp4")
         encode_svtav1(
-            np.asarray(frames), out, framerate, crf=self.crf,
+            np.asarray(frames), out, framerate,
+            crf=self._pick_crf(frames, target_bitrate, framerate),
             qp_range=self.qp_range, importance_scores=np.asarray(importance),
+            gop=gop,
         )
         return self._read_back(out, frames)
 
@@ -245,11 +315,12 @@ def make_pipeline_codec(
     codec: str, workdir: str, width: int, height: int,
     *, preset: str = "medium", pix_fmt: str = "yuv420p",
     quality: str = "medium", nvc_b_frames: bool = False,
-    nvc_me_radius: int = 4,
+    nvc_me_radius: int = 4, nvc_multi_ref: bool = False,
 ) -> PipelineCodec:
     codecs: Dict[str, callable] = {
         "nvc": lambda: NvcPipelineCodec(b_frames=nvc_b_frames,
-                                        me_radius=nvc_me_radius),
+                                        me_radius=nvc_me_radius,
+                                        multi_ref=nvc_multi_ref),
         "x265": lambda: X265PipelineCodec(workdir, width, height, preset, pix_fmt),
         "kvazaar": lambda: KvazaarPipelineCodec(workdir, width, height, quality),
         "svtav1": lambda: SvtAv1PipelineCodec(workdir, width, height, quality),

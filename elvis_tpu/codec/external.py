@@ -177,8 +177,11 @@ def encode_kvazaar(
     qp: int = 48,
     qp_range: int = 15,
     importance_scores: Optional[Sequence[np.ndarray]] = None,
+    gop: Optional[int] = None,
 ) -> None:
-    """kvazaar -> mkvmerge -> ffmpeg mux (utils.py:465-517)."""
+    """kvazaar -> mkvmerge -> ffmpeg mux (utils.py:465-517). ``gop`` sets
+    the intra period (``--period``), the kvazaar analog of the reference's
+    x265 ``-g framerate`` keyframe interval (elvis.py:1298)."""
     output_path = str(output_path)
     with tempfile.NamedTemporaryFile(suffix=".y4m", delete=False) as tmp:
         y4m_path = tmp.name
@@ -186,6 +189,8 @@ def encode_kvazaar(
         write_y4m(frames, y4m_path, framerate)
     hevc_path = output_path.replace(".mp4", ".hevc")
     cmd = ["kvazaar", "-i", y4m_path, "-q", str(qp), "-o", hevc_path, "--preset", "medium"]
+    if gop:
+        cmd.extend(["--period", str(int(gop))])
     roi_path = None
     if importance_scores is not None:
         roi_path = output_path.replace(".mp4", "_roi.bin")
@@ -215,8 +220,10 @@ def encode_svtav1(
     crf: int = 35,
     qp_range: int = 15,
     importance_scores: Optional[Sequence[np.ndarray]] = None,
+    gop: Optional[int] = None,
 ) -> None:
-    """SvtAv1EncApp -> IVF -> ffmpeg mux (utils.py:520-565)."""
+    """SvtAv1EncApp -> IVF -> ffmpeg mux (utils.py:520-565). ``gop`` sets
+    the keyframe interval (``--keyint``)."""
     output_path = str(output_path)
     height, width = np.asarray(frames[0]).shape[:2]
     with tempfile.NamedTemporaryFile(suffix=".y4m", delete=False) as tmp:
@@ -225,6 +232,8 @@ def encode_svtav1(
         write_y4m(frames, y4m_path, framerate)
     ivf_path = output_path.replace(".mp4", ".ivf")
     cmd = ["SvtAv1EncApp", "-i", y4m_path, "-b", ivf_path, "--preset", "8", "--crf", str(crf)]
+    if gop:
+        cmd.extend(["--keyint", str(int(gop))])
     roi_path = None
     if importance_scores is not None:
         roi_path = output_path.replace(".mp4", "_roi.txt")

@@ -107,12 +107,19 @@ class _DataParallel:
     than the window itself.
     """
 
-    def __init__(self, enabled: bool):
+    def __init__(self, enabled: bool, spatial: int = 0):
         self.mesh = None
-        if enabled and len(jax.devices()) > 1:
+        self.spatial_mesh = None
+        n_dev = len(jax.devices())
+        if enabled and n_dev > 1:
             from elvis_tpu.parallel import make_mesh
 
             self.mesh = make_mesh()
+            if spatial > 1 and n_dev % spatial == 0:
+                # data x spatial mesh for height-tiled full-frame restores
+                self.spatial_mesh = make_mesh(
+                    (("data", n_dev // spatial), ("spatial", spatial))
+                )
 
     def apply(self, fn, *arrays):
         arrays = [jnp.asarray(a) for a in arrays]
@@ -137,6 +144,30 @@ class _DataParallel:
 
         padded = tuple(shard_frames(a, self.mesh)[0] for a in arrays)
         out = temporal_map_overlap(fn, padded, self.mesh, overlap)
+        return out[:n]
+
+    def spatial_ok(self, height: int, block_size: int) -> bool:
+        return (
+            self.spatial_mesh is not None
+            and height % (self.spatial_mesh.shape["spatial"] * block_size) == 0
+        )
+
+    def apply_spatial(self, fn, frames, levels, halo: int, block_size: int):
+        """Frame DP x height tiling: per-frame restore on 2D shards with
+        pixel+block halo exchange (parallel.halo.spatial_tile_map_blocks)."""
+        from elvis_tpu.parallel.halo import spatial_tile_map_blocks
+        from elvis_tpu.parallel.mesh import shard_frames
+
+        frames = jnp.asarray(frames)
+        levels = jnp.asarray(levels)
+        n = frames.shape[0]
+        mesh = self.spatial_mesh
+        f_pad, _ = shard_frames(frames, mesh)
+        l_pad, _ = shard_frames(levels, mesh)
+        halo = max(block_size, halo - halo % block_size)
+        out = spatial_tile_map_blocks(
+            fn, f_pad, l_pad, mesh, halo, block_size, data_axis="data"
+        )
         return out[:n]
 
 
@@ -195,7 +226,22 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
     # halo of P6): per-frame stages pad N to a device multiple and shard;
     # windowed temporal stages additionally exchange halo frames over ICI
     # so each shard sees its neighbours' context.
-    dp = _DataParallel(config.data_parallel)
+    dp = _DataParallel(config.data_parallel, spatial=config.spatial_devices)
+
+    def _restore_framewise(fn, frames_in, maps_in):
+        """Per-frame restore: plain frame DP, or — for tall frames with a
+        spatial mesh axis configured — 2D frame x height-tile sharding
+        (VERDICT r2 #5; the reference runs feathered spatial tiles in its
+        restore paths at high res, utils.py:176-326)."""
+        if (
+            height >= config.spatial_tile_threshold
+            and dp.spatial_ok(height, b)
+        ):
+            return dp.apply_spatial(
+                lambda f, l: fn(f, l, b), frames_in, maps_in,
+                halo=config.spatial_halo, block_size=b,
+            )
+        return dp.apply(lambda f, m: fn(f, m, b), frames_in, maps_in)
 
     # Codec dispatch (elvis_tpu.codec.dispatch): the built-in NVC codec or
     # the external x265/kvazaar/SVT-AV1 wrappers, one interface.
@@ -203,7 +249,7 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         config.codec, os.path.join(experiment_dir, "codec"), width, height,
         preset=config.encode_preset, pix_fmt=config.encode_pix_fmt,
         quality=config.quality_preset, nvc_b_frames=config.nvc_b_frames,
-        nvc_me_radius=config.nvc_me_radius,
+        nvc_me_radius=config.nvc_me_radius, nvc_multi_ref=config.nvc_multi_ref,
     )
     # ~1-second keyframe interval like the reference's `-g framerate`
     # (elvis.py:1298) — bounds seek/error propagation.
@@ -438,13 +484,15 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         if name == "diffusion":  # per-frame op: plain frame sharding
             out = dp.apply(lambda f, m: fn(f, m, b), stretched, removal_mask)
         else:
-            # Windowed temporal op: shard with halo context. Overlap is
-            # 2x the propagation window — the fill needs `window` frames
-            # of context and the motion estimate another `window` on top
-            # (motion runs on the zero-motion fill), so 2w gives exact
-            # sharded == unsharded equivalence.
+            # Windowed temporal op: shard with halo context. The backend
+            # declares its own overlap (2x the propagation window — the
+            # fill needs `window` frames of context and the motion
+            # estimate another `window` on top, so 2w gives exact
+            # sharded == unsharded equivalence; the reference's
+            # *_chunk_overlap knobs override it).
             out = dp.apply_temporal(
-                lambda f, m: fn(f, m, b), (stretched, removal_mask), overlap=16
+                lambda f, m: fn(f, m, b), (stretched, removal_mask),
+                overlap=getattr(fn, "temporal_overlap", 16),
             )
         decoded[label] = np.asarray(out)
         dt = time.time() - t0
@@ -460,7 +508,7 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         backend_provenance[label] = prov
         row_branch[label] = "downsampled"
         t0 = time.time()
-        sr_out = dp.apply(lambda f, m: fn(f, m, b), down_decoded, levels_dec)
+        sr_out = _restore_framewise(fn, down_decoded, levels_dec)
         if config.temporal_blend > 0:
             sr_out = dp.apply_temporal(
                 lambda f: temporal_blend(f, config.temporal_blend), (sr_out,), overlap=8
@@ -479,7 +527,7 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         backend_provenance[label] = prov
         row_branch[label] = "gaussian"
         t0 = time.time()
-        deblurred = dp.apply(lambda f, m: fn(f, m, b), blur_decoded, blur_levels_dec)
+        deblurred = _restore_framewise(fn, blur_decoded, blur_levels_dec)
         if config.temporal_blend > 0:
             deblurred = dp.apply_temporal(
                 lambda f: temporal_blend(f, config.temporal_blend), (deblurred,), overlap=8

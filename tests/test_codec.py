@@ -492,3 +492,180 @@ class TestVideoSidecarFile:
         assert back.shape == maps.shape
         # lossy video sidecar: levels within 1 of the original
         assert np.abs(back.astype(int) - maps.astype(int)).max() <= 1
+
+
+class TestRateMatchedExternal:
+    """kvazaar/SVT-AV1 map target_bitrate -> QP/CRF through the NVC
+    probe rate model (the reference's primary mode is bitrate-targeted
+    two-pass encoding, elvis.py:1226-1322; fixed preset QPs made those
+    rows rate-incomparable)."""
+
+    def _frames(self, rng, n=6):
+        return (rng.random((n, 48, 64, 3)) * 255).astype(np.uint8)
+
+    def _kvz_args(self, tmp_path, monkeypatch, rng, target, tag):
+        from elvis_tpu.codec.dispatch import KvazaarPipelineCodec
+
+        fake = tmp_path / f"fake_{tag}"
+        monkeypatch.setenv("ELVIS_TPU_FAKE_CODECS", str(fake))
+        codec = KvazaarPipelineCodec(str(tmp_path / f"wd_{tag}"), 64, 48)
+        codec.encode(self._frames(rng), target_bitrate=target,
+                     framerate=24.0, gop=24)
+        argv = [json.loads(l) for l in (fake / "argv.jsonl").read_text().splitlines()]
+        kvz = [a for a in argv if a[0] == "kvazaar"][0]
+        return kvz
+
+    def test_kvazaar_qp_responds_to_target_bitrate(self, tmp_path, monkeypatch, rng):
+        lo = self._kvz_args(tmp_path, monkeypatch, rng, 50_000, "lo")
+        hi = self._kvz_args(tmp_path, monkeypatch, rng, 2_000_000, "hi")
+        qp_lo = int(lo[lo.index("-q") + 1])
+        qp_hi = int(hi[hi.index("-q") + 1])
+        # fewer target bits -> coarser quantization
+        assert qp_lo > qp_hi, (qp_lo, qp_hi)
+        # gop forwarded as the intra period
+        assert lo[lo.index("--period") + 1] == "24"
+
+    def test_kvazaar_preset_qp_without_target(self, tmp_path, monkeypatch, rng):
+        from elvis_tpu.codec.dispatch import KvazaarPipelineCodec
+
+        fake = tmp_path / "fake_p"
+        monkeypatch.setenv("ELVIS_TPU_FAKE_CODECS", str(fake))
+        codec = KvazaarPipelineCodec(str(tmp_path / "wd_p"), 64, 48, quality="low")
+        codec.encode(self._frames(rng), target_bitrate=None, framerate=24.0, gop=0)
+        argv = [json.loads(l) for l in (fake / "argv.jsonl").read_text().splitlines()]
+        kvz = [a for a in argv if a[0] == "kvazaar"][0]
+        assert int(kvz[kvz.index("-q") + 1]) == QUALITY_PRESETS["low"]["kvazaar_qp"]
+        assert "--period" not in kvz
+
+    def test_svtav1_crf_responds_and_keyint(self, tmp_path, monkeypatch, rng):
+        from elvis_tpu.codec.dispatch import SvtAv1PipelineCodec
+
+        fake = tmp_path / "fake_s"
+        monkeypatch.setenv("ELVIS_TPU_FAKE_CODECS", str(fake))
+        codec = SvtAv1PipelineCodec(str(tmp_path / "wd_s"), 64, 48)
+        frames = self._frames(rng)
+        codec.encode(frames, target_bitrate=50_000, framerate=24.0, gop=12)
+        codec.encode(frames, target_bitrate=2_000_000, framerate=24.0, gop=12)
+        argv = [json.loads(l) for l in (fake / "argv.jsonl").read_text().splitlines()]
+        svt = [a for a in argv if a[0] == "SvtAv1EncApp"]
+        crf_lo = int(svt[0][svt[0].index("--crf") + 1])
+        crf_hi = int(svt[1][svt[1].index("--crf") + 1])
+        assert crf_lo > crf_hi, (crf_lo, crf_hi)
+        assert 1 <= crf_hi <= crf_lo <= 63
+        assert svt[0][svt[0].index("--keyint") + 1] == "12"
+
+    def test_rate_model_tracks_nvc_scale(self, rng):
+        """The chosen HEVC QP should roughly reproduce the target when the
+        NVC codec itself encodes at it (the model's own consistency)."""
+        from elvis_tpu.codec.dispatch import _RateModel
+        from elvis_tpu.codec.nvc.codec import encode as nvc_encode
+
+        frames = self._frames(rng, n=6)
+        target = 400_000
+        qp = _RateModel().hevc_qp(frames, target, 24.0)
+        bits = len(nvc_encode(frames, qp=qp, framerate=24.0)) * 8
+        achieved = bits / (frames.shape[0] / 24.0)
+        assert 0.4 * target < achieved < 2.5 * target, (qp, achieved)
+
+
+class TestBFrameValidation:
+    def test_b_qp_offset_range_enforced(self, rng):
+        """Header packs (1 + b_qp_offset) into one byte: -1 would alias
+        'P-only' and corrupt decode; >254 overflows (ADVICE r2)."""
+        from elvis_tpu.codec.nvc.codec import encode as nvc_encode
+
+        frames = (rng.random((2, 32, 32, 3)) * 255).astype(np.uint8)
+        for bad in (-1, 255):
+            with pytest.raises(ValueError):
+                nvc_encode(frames, qp=32, b_frames=True, b_qp_offset=bad)
+        # P-only path ignores the field entirely
+        nvc_encode(frames, qp=32, b_frames=False, b_qp_offset=-1)
+
+
+class TestMultiRefP:
+    """Two-reference P prediction (mode MODE_INTER_REF2): per-block
+    choice between the previous and two-back reconstructions — the
+    reference chain extension of the B-frame machinery (round-3 agenda;
+    H.264 multiple reference frames)."""
+
+    def _flicker_clip(self, rng, n=8):
+        """Even frames: clean texture. Odd frames: the same texture with a
+        large moving occluder — so even frames match their TWO-BACK
+        reference far better than the occluded previous frame. The base is
+        spatially smooth (per-pixel color noise would hit the 4:2:0
+        chroma floor and mask coding quality)."""
+        yy, xx = np.mgrid[0:64, 0:96].astype(np.float32)
+        base = np.stack([
+            128 + 90 * np.sin(2 * np.pi * (xx + 17 * c) / 48)
+            * np.cos(2 * np.pi * (yy - 9 * c) / 40)
+            for c in range(3)
+        ], axis=-1)
+        base = np.clip(base + rng.normal(0, 2, base.shape), 0, 255).astype(np.uint8)
+        frames = []
+        for t in range(n):
+            f = base.copy()
+            if t % 2 == 1:
+                x0 = 8 * (t % 5)
+                f[:, x0 : x0 + 40] = 255 - f[:, x0 : x0 + 40]
+            frames.append(f)
+        return np.stack(frames)
+
+    def test_multi_ref_saves_bits_on_flicker(self, rng):
+        from elvis_tpu.codec.nvc.codec import decode as nvc_decode
+        from elvis_tpu.codec.nvc.codec import encode as nvc_encode
+        from elvis_tpu.metrics import masked_psnr
+
+        import jax.numpy as jnp
+
+        clip = self._flicker_clip(rng)
+        s1 = nvc_encode(clip, qp=30, me_radius=4)
+        s2 = nvc_encode(clip, qp=30, me_radius=4, multi_ref=True)
+        d1, _ = nvc_decode(s1)
+        d2, _ = nvc_decode(s2)
+        p1 = float(masked_psnr(jnp.asarray(clip, jnp.float32),
+                               jnp.asarray(d1, jnp.float32)).mean())
+        p2 = float(masked_psnr(jnp.asarray(clip, jnp.float32),
+                               jnp.asarray(d2, jnp.float32)).mean())
+        # the two-back reference must pay: >=10% fewer bytes at >= equal PSNR
+        assert len(s2) < 0.9 * len(s1), (len(s2), len(s1))
+        assert p2 >= p1 - 0.1, (p2, p1)
+
+    def test_multi_ref_stream_roundtrip_deterministic(self, rng):
+        from elvis_tpu.codec.nvc.codec import decode as nvc_decode
+        from elvis_tpu.codec.nvc.codec import encode as nvc_encode
+        from elvis_tpu.codec.nvc.codec import luma_modes
+
+        clip = self._flicker_clip(rng, n=7)
+        s = nvc_encode(clip, qp=28, me_radius=4, multi_ref=True, gop=4)
+        modes = luma_modes(s)
+        assert (modes == 2).any()  # mode 2 actually used
+        d_a, fps = nvc_decode(s)
+        d_b, _ = nvc_decode(s)
+        np.testing.assert_array_equal(d_a, d_b)
+        assert d_a.shape == clip.shape and fps == 30.0
+
+    def test_multi_ref_with_b_frames_roundtrip(self, rng):
+        from elvis_tpu.codec.nvc.codec import decode as nvc_decode
+        from elvis_tpu.codec.nvc.codec import encode as nvc_encode
+        from elvis_tpu.metrics import masked_psnr
+
+        import jax.numpy as jnp
+
+        clip = self._flicker_clip(rng, n=8)
+        s = nvc_encode(clip, qp=30, me_radius=4, b_frames=True, multi_ref=True)
+        d, _ = nvc_decode(s)
+        p = float(masked_psnr(jnp.asarray(clip, jnp.float32),
+                              jnp.asarray(d, jnp.float32)).mean())
+        assert d.shape == clip.shape and p > 25, p
+
+    def test_plain_stream_unaffected(self, tiny_video):
+        """multi_ref=False streams carry no mode 2 and decode through the
+        single-reference path byte-identically to before."""
+        from elvis_tpu.codec.nvc.codec import decode as nvc_decode
+        from elvis_tpu.codec.nvc.codec import encode as nvc_encode
+        from elvis_tpu.codec.nvc.codec import luma_modes
+
+        s = nvc_encode(tiny_video, qp=30, me_radius=2)
+        assert not (luma_modes(s) == 2).any()
+        d, _ = nvc_decode(s)
+        assert d.shape == tiny_video.shape
