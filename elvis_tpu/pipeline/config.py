@@ -104,6 +104,7 @@ class ElvisConfig:
     nvc_b_frames: bool = False         # NVC: bi-predicted odd frames (vmapped)
     nvc_me_radius: int = 4             # NVC: per-frame motion budget in pels
                                        # (>7 engages the hierarchical search)
+    nvc_multi_ref: bool = False        # NVC: two-reference P prediction
     saliency_backend: str = "motion_contrast"
     # Backend lists drive the restoration approach rows (restore.backends):
     # the first entry fills the reference's label for that slot, extra
@@ -132,6 +133,12 @@ class ElvisConfig:
     masks_dir: Optional[str] = None  # external FG masks (DAVIS-style PNG dir)
     profile_dir: Optional[str] = None  # jax.profiler trace output
     data_parallel: bool = True  # shard frame axis across devices when possible
+    # 2D data x spatial sharding (the reference's feathered spatial tiling,
+    # utils.py:176-326, as a mesh axis): frames taller than the threshold
+    # route full-frame restorers through height tiles with halo exchange.
+    spatial_devices: int = 0      # spatial mesh axis size (0 = frame DP only)
+    spatial_tile_threshold: int = 1440  # min height (px) to engage tiling
+    spatial_halo: int = 64        # tile halo rows (multiple of block_size)
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

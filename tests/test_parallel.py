@@ -180,3 +180,54 @@ class TestTemporalHaloEquivalence:
                 # noise, not a sharding bug (halo correctness itself is
                 # oracle-tested above).
                 assert abs(a - b) < 5e-3, (label, region, a, b)
+
+
+class TestSpatialTileBlocks:
+    """Production spatial tiling (VERDICT r2 #5): height-sharded restore
+    with pixel+block halos matches the unsharded result."""
+
+    def test_progressive_restore_matches_unsharded(self, rng):
+        from elvis_tpu.degrade import adaptive_downsample
+        from elvis_tpu.parallel.halo import spatial_tile_map_blocks
+        from elvis_tpu.restore import progressive_restore
+        from elvis_tpu.restore.progressive import lanczos_upsample_2x
+
+        b = 8
+        n, h, w = 2, 256, 64  # 4-way height shard: 64 rows/tile
+        frames = jnp.asarray((rng.random((n, h, w, 3)) * 255).astype(np.float32))
+        scores = jnp.asarray(rng.random((n, h // b, w // b)).astype(np.float32))
+        degraded, levels = adaptive_downsample(frames, scores, b)
+
+        def restore(f, l):
+            return progressive_restore(f, l, b, upsample_fn=lanczos_upsample_2x)
+
+        ref = np.asarray(restore(degraded, levels))
+        mesh = make_mesh((("data", 2), ("spatial", 4)))
+        out = np.asarray(spatial_tile_map_blocks(
+            restore, degraded, levels, mesh, halo=32, block_size=b,
+            data_axis="data",
+        ))
+        err = np.abs(out - ref)
+        # halo 32 covers the progressive loop's receptive field, and the
+        # clamped edge windows reproduce the restorer's own boundary
+        # semantics: bit-near-exact everywhere
+        assert err.max() < 0.1, err.max()
+        assert err.mean() < 1e-3, err.mean()
+
+    def test_run_elvis_routes_tall_frames_through_tiles(self, tmp_path):
+        """spatial_devices + a low threshold engage the 2D path e2e."""
+        from elvis_tpu.pipeline.config import ElvisConfig
+        from elvis_tpu.pipeline.run import run_elvis
+
+        config = ElvisConfig(
+            reference_video="synthetic://moving?frames=4&fps=24",
+            width=64, height=128, block_size=8, codec="nvc",
+            experiment_dir=str(tmp_path / "exp"),
+            enable_fvmd=False, enable_vmaf=False,
+            generate_opencv_benchmarks=False,
+            spatial_devices=4, spatial_tile_threshold=128, spatial_halo=16,
+            inpaint_backends=["diffusion"],
+        )
+        results = run_elvis(config)
+        assert "PRESLEY RealESRGAN" in results
+        assert results["PRESLEY RealESRGAN"]["foreground"]["psnr_mean"] > 10
