@@ -27,7 +27,28 @@ __all__ = [
     "codec_noise",
     "photo_patch_pool",
     "photo_video_batch",
+    "photometric_augment",
 ]
+
+
+@jax.jit
+def photometric_augment(rng, frames: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample photometric jitter: gamma, gain, per-channel color cast,
+    brightness offset. Applied to CLEAN sources before degradation (the
+    pair stays consistent), multiplying the effective diversity of the
+    tiny real-photo pool — the anti-overfit lever for the quality SR tier
+    (round 2: procedural-only and plain-photo recipes both peaked early
+    then overfit; the photo pool is only two images)."""
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    b = frames.shape[0]
+    x = frames.astype(jnp.float32) / 255.0
+    gamma = jnp.exp(jax.random.uniform(k1, (b, 1, 1, 1), minval=-0.35, maxval=0.35))
+    gain = jax.random.uniform(k2, (b, 1, 1, 1), minval=0.8, maxval=1.2)
+    cast = jax.random.uniform(k3, (b, 1, 1, 3), minval=0.92, maxval=1.08)
+    offset = jax.random.uniform(k4, (b, 1, 1, 1), minval=-0.06, maxval=0.06)
+    x = jnp.clip(x, 1e-6, 1.0) ** gamma
+    x = x * gain * cast + offset
+    return jnp.clip(x * 255.0, 0.0, 255.0)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
@@ -244,17 +265,20 @@ def natural_video_batch(rng, frames: int, height: int, width: int, max_pan: int 
     return jax.vmap(crop)(offsets)
 
 
-@functools.lru_cache(maxsize=8)
+@functools.lru_cache(maxsize=16)
 def photo_patch_pool(
-    patch: int = 64, train: bool = True, pool_size: int = 2048, seed: int = 0
+    patch: int = 64, train: bool = True, pool_size: int = 2048, seed: int = 0,
+    photos: tuple = ("china", "flower"),
 ):
-    """(pool_size, patch, patch, 3) float32 [0,255] patches from the two
-    REAL photographs bundled with scikit-learn (china.jpg, flower.jpg) —
-    the only natural images in this zero-egress image besides the
-    EVALUATION photo (matplotlib's grace_hopper.jpg, which this pool
-    deliberately never touches; train/evaluate.py:38).
+    """(pool_size, patch, patch, 3) float32 [0,255] patches from REAL
+    photographs bundled in this zero-egress image. The default sources are
+    scikit-learn's china.jpg + flower.jpg; the EVALUATION photo
+    (matplotlib's grace_hopper.jpg) is deliberately excluded by default —
+    pass ``photos`` explicitly to run the cross-validation rotation
+    (train on two of {china, flower, grace_hopper}, hold out the third;
+    train/evaluate.py:photo_image).
 
-    Patches are drawn from a 3-level Lanczos pyramid (scale jitter) with
+    Patches are drawn from a 5-level Lanczos pyramid (scale jitter) with
     the 8 dihedral augmentations. ``train=True`` uses columns < 480 of
     each photo, ``train=False`` the remaining right strip — a held-out
     VALIDATION region for checkpoint selection that shares no pixels
@@ -268,11 +292,21 @@ def photo_patch_pool(
 
     base = os.path.join(os.path.dirname(sklearn.__file__), "datasets", "images")
     val_x = 480
+
+    def _open(name):
+        if name == "grace_hopper":
+            import matplotlib
+
+            return Image.open(os.path.join(
+                os.path.dirname(matplotlib.__file__), "mpl-data", "sample_data",
+                "grace_hopper.jpg")).convert("RGB")
+        return Image.open(os.path.join(base, f"{name}.jpg")).convert("RGB")
+
     arrs = []
-    for name in ("china.jpg", "flower.jpg"):
-        img = Image.open(os.path.join(base, name)).convert("RGB")
+    for name in photos:
+        img = _open(name)
         w, h = img.size
-        for s in (1.0, 0.75, 0.5):
+        for s in (1.0, 0.85, 0.7, 0.55, 0.4):
             im2 = img if s == 1.0 else img.resize(
                 (int(w * s), int(h * s)), Image.LANCZOS
             )

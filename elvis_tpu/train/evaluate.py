@@ -29,28 +29,92 @@ from typing import Callable, Dict, Optional
 
 import numpy as np
 
-__all__ = ["holdout_clips", "sr_holdout_eval", "deblur_holdout_eval", "main"]
+__all__ = [
+    "holdout_clips",
+    "photo_image",
+    "photo_clips_multi",
+    "sr_holdout_eval",
+    "sr_photo_eval_multi",
+    "deblur_holdout_eval",
+    "main",
+]
 
 _HOPPER = os.path.join(
     "matplotlib", "mpl-data", "sample_data", "grace_hopper.jpg"
 )
 
 
-def _photo_clip(frames: int, size: int) -> Optional[np.ndarray]:
-    """Shifted crops of the bundled photo -> a small pan 'clip'."""
+def photo_image(source: str = "grace_hopper") -> Optional[np.ndarray]:
+    """Load one of the three real photographs in this zero-egress image:
+    matplotlib's ``grace_hopper`` (the default holdout) or sklearn's
+    ``china``/``flower`` (the training photos — used as EVAL targets only
+    in the cross-validation rotation, where the trainer's pool excludes
+    them; train.data.photo_patch_pool)."""
     try:
-        import matplotlib
         from PIL import Image
 
-        path = os.path.join(os.path.dirname(matplotlib.__file__), "mpl-data",
-                            "sample_data", "grace_hopper.jpg")
-        img = np.asarray(Image.open(path).convert("RGB"), dtype=np.float32)
+        if source == "grace_hopper":
+            import matplotlib
+
+            path = os.path.join(os.path.dirname(matplotlib.__file__),
+                                "mpl-data", "sample_data", "grace_hopper.jpg")
+        else:
+            import sklearn
+
+            path = os.path.join(os.path.dirname(sklearn.__file__),
+                                "datasets", "images", f"{source}.jpg")
+        return np.asarray(Image.open(path).convert("RGB"), dtype=np.float32)
     except Exception:
+        return None
+
+
+def _photo_clip(frames: int, size: int) -> Optional[np.ndarray]:
+    """Shifted crops of the bundled photo -> a small pan 'clip'."""
+    img = photo_image("grace_hopper")
+    if img is None:
         return None
     h, w = img.shape[:2]
     if h < size + frames * 4 or w < size:
         return None
     return np.stack([img[4 * t : 4 * t + size, :size] for t in range(frames)])
+
+
+def photo_clips_multi(
+    frames: int = 2,
+    size: int = 192,
+    max_clips: int = 12,
+    source: str = "grace_hopper",
+) -> list:
+    """Multiple pan clips tiling the eval photo across crops AND scales —
+    the round-2 headline rested on ONE 192px crop (VERDICT r2 #6); this
+    gives the >=8-sample population behind mean+-std reporting."""
+    from PIL import Image
+
+    img = photo_image(source)
+    if img is None:
+        return []
+    clips = []
+    for s in (1.0, 0.75, 0.5):
+        if s == 1.0:
+            a = img
+        else:
+            im = Image.fromarray(img.astype(np.uint8))
+            a = np.asarray(
+                im.resize((int(img.shape[1] * s), int(img.shape[0] * s)),
+                          Image.LANCZOS), np.float32)
+        h, w = a.shape[:2]
+        need_h = size + 4 * (frames - 1)
+        if h < need_h or w < size:
+            continue
+        ys = np.unique(np.linspace(0, h - need_h, 2 if s < 1.0 else 3).astype(int))
+        xs = np.unique(np.linspace(0, w - size, 2 if s < 1.0 else 3).astype(int))
+        for y in ys:
+            for x in xs:
+                clips.append(np.stack(
+                    [a[y + 4 * t : y + 4 * t + size, x : x + size]
+                     for t in range(frames)]
+                ))
+    return clips[:max_clips]
 
 
 def holdout_clips(frames: int = 4, size: int = 256) -> Dict[str, np.ndarray]:
@@ -132,6 +196,70 @@ def sr_holdout_eval(
                 "dssim": round(s_nn - s_lz, 4),
             }
     return results
+
+
+def sr_photo_eval_multi(
+    upsample_fn: Callable,
+    *,
+    frames: int = 2,
+    size: int = 192,
+    block_size: int = 8,
+    max_clips: int = 12,
+    source: str = "grace_hopper",
+    with_codec_noise: bool = True,
+    max_level: int = 3,
+) -> Dict[str, float]:
+    """Photo dPSNR/dSSIM vs Lanczos as mean+-std over many crops x scales
+    of the held-out photo (the population the headline claim now rests
+    on). Returns {n, dpsnr_mean, dpsnr_std, dpsnr_min, dssim_mean,
+    dssim_std, psnr_lanczos_mean}."""
+    import jax
+    import jax.numpy as jnp
+
+    from elvis_tpu.degrade import adaptive_downsample
+    from elvis_tpu.metrics import masked_psnr, masked_ssim
+    from elvis_tpu.restore.progressive import lanczos_upsample_2x, progressive_restore
+    from elvis_tpu.train.data import codec_noise
+
+    clips = photo_clips_multi(frames, size, max_clips, source)
+    if not clips:
+        return {"n": 0}
+
+    @jax.jit
+    def run_pair(clean, degraded, levels):
+        lz = progressive_restore(degraded, levels, block_size,
+                                 upsample_fn=lanczos_upsample_2x, max_level=max_level)
+        nn = progressive_restore(degraded, levels, block_size,
+                                 upsample_fn=upsample_fn, max_level=max_level)
+        return (
+            masked_psnr(clean, lz).mean(), masked_psnr(clean, nn).mean(),
+            masked_ssim(clean, lz).mean(), masked_ssim(clean, nn).mean(),
+        )
+
+    by = size // block_size
+    dpsnrs, dssims, lz_psnrs = [], [], []
+    for i, clip in enumerate(clips):
+        clean = jnp.asarray(clip, dtype=jnp.float32)
+        scores = jax.random.uniform(jax.random.PRNGKey(7 + i), (frames, by, by))
+        degraded, levels = jax.jit(
+            lambda a, s: adaptive_downsample(a, s, block_size)
+        )(clean, scores)
+        if with_codec_noise:
+            degraded = codec_noise(jax.random.PRNGKey(3 + i), degraded, block_size)
+        p_lz, p_nn, s_lz, s_nn = (float(v) for v in run_pair(clean, degraded, levels))
+        dpsnrs.append(p_nn - p_lz)
+        dssims.append(s_nn - s_lz)
+        lz_psnrs.append(p_lz)
+    dpsnrs, dssims = np.asarray(dpsnrs), np.asarray(dssims)
+    return {
+        "n": len(clips),
+        "dpsnr_mean": round(float(dpsnrs.mean()), 3),
+        "dpsnr_std": round(float(dpsnrs.std()), 3),
+        "dpsnr_min": round(float(dpsnrs.min()), 3),
+        "dssim_mean": round(float(dssims.mean()), 4),
+        "dssim_std": round(float(dssims.std()), 4),
+        "psnr_lanczos_mean": round(float(np.mean(lz_psnrs)), 3),
+    }
 
 
 def deblur_holdout_eval(

@@ -234,3 +234,77 @@ class TestTrainedLpips:
         # the module-level metric auto-loads the same checkpoint
         d = np.asarray(lpips_distance(clean, blur))
         assert (d > 0).all()
+
+
+class TestMetricValidation:
+    """Behavioral validation of the two surrogate metrics (VERDICT r2 #4):
+    the block-matching FVMD must behave like a motion-dynamics distance
+    (monotone in injected temporal jitter), and the trained 'lpips' must
+    rank-correlate with PSNR/SSIM orderings across a real RD sweep."""
+
+    def test_fvmd_monotone_in_temporal_jitter(self, rng):
+        """Increasing frame-wise random displacement of a smooth pan =>
+        increasing FVMD vs the clean pan (the reference metric's defining
+        behaviour; elvis.py:3358)."""
+        from elvis_tpu.metrics.fvmd import fvmd
+        from elvis_tpu.train.data import natural_frames
+
+        import jax
+
+        scene = np.asarray(natural_frames(jax.random.PRNGKey(11), 1, 96, 128))[0]
+        n = 16
+
+        def pan(jitter_mag, seed):
+            r = np.random.default_rng(seed)
+            frames = []
+            for t in range(n):
+                dy = t  # smooth 1 px/frame pan
+                jy, jx = (r.integers(-jitter_mag, jitter_mag + 1, 2)
+                          if jitter_mag else (0, 0))
+                frames.append(np.roll(np.roll(scene, dy + jy, 0), 2 * t + jx, 1))
+            return np.stack(frames).astype(np.float32)
+
+        ref = pan(0, 0)
+        ds = [fvmd(ref, pan(m, 1), block_size=16, radius=6) for m in (0, 1, 2, 4)]
+        assert np.isfinite(ds).all()
+        assert ds[0] < 1e-6
+        # monotone non-decreasing in jitter magnitude
+        assert ds[1] < ds[2] < ds[3], ds
+
+    def test_lpips_rank_correlates_with_psnr_on_rd_sweep(self, rng):
+        """Across an actual NVC QP ladder (real codec degradations at
+        increasing strength), the trained lpips ordering must match the
+        PSNR ordering (Spearman rho <= -0.9: higher PSNR, lower lpips)."""
+        import os
+
+        import jax.numpy as jnp
+
+        from elvis_tpu.codec.nvc.codec import decode as nvc_decode
+        from elvis_tpu.codec.nvc.codec import encode as nvc_encode
+        from elvis_tpu.metrics import masked_psnr
+        from elvis_tpu.metrics.perceptual import lpips_distance
+        from elvis_tpu.models.io import default_checkpoint_dir
+
+        if not os.path.isdir(os.path.join(default_checkpoint_dir(), "perceptual")):
+            pytest.skip("no trained perceptual checkpoint")
+        from elvis_tpu.train.evaluate import photo_clips_multi
+
+        clips = photo_clips_multi(2, 96, 1)
+        clean = (clips[0] if clips
+                 else (rng.random((2, 96, 96, 3)) * 255)).astype(np.uint8)
+        psnrs, lpipses = [], []
+        for qp in (14, 22, 30, 38, 46):
+            dec, _ = nvc_decode(nvc_encode(clean, qp=qp))
+            c = jnp.asarray(clean, jnp.float32)
+            d = jnp.asarray(dec, jnp.float32)
+            psnrs.append(float(masked_psnr(c, d).mean()))
+            lpipses.append(float(np.asarray(lpips_distance(c, d)).mean()))
+
+        def spearman(a, b):
+            ra = np.argsort(np.argsort(a)).astype(float)
+            rb = np.argsort(np.argsort(b)).astype(float)
+            ra -= ra.mean(); rb -= rb.mean()
+            return float((ra * rb).sum() / np.sqrt((ra**2).sum() * (rb**2).sum()))
+
+        rho = spearman(psnrs, lpipses)
+        assert rho <= -0.9, (rho, psnrs, lpipses)
