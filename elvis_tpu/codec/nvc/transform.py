@@ -42,7 +42,12 @@ __all__ = [
 BLOCK = 8
 MODE_INTRA = 0
 MODE_INTER = 1  # forward (previous-reference) prediction
+# Mode value 2 is parity-resolved: on B (odd) frames of a b_frames stream
+# it is the backward reference; on P-chain frames it is the SECOND-most-
+# recent reference (multi-reference P, H.264's ref-list idea — helps
+# occlusion/flicker where the immediate predecessor is a bad match).
 MODE_INTER_BWD = 2  # backward (next-reference) prediction — B frames only
+MODE_INTER_REF2 = 2  # two-back reference — P frames with multi_ref
 MODE_INTER_BI = 3  # bidirectional average — B frames only
 
 
@@ -354,6 +359,7 @@ def encode_plane(
     me_step: int = 1,
     me_halfpel: bool = True,
     force_intra: "jnp.ndarray | None" = None,
+    multi_ref: bool = False,
 ):
     """plane ``(N, H, W)`` float32 [0,255]; qp_map ``(N, By, Bx)`` int.
 
@@ -366,6 +372,11 @@ def encode_plane(
     Radii above 7 switch to the hierarchical coarse-to-fine search
     (_me_plan): area-downsampled full search + greedy integer refinement,
     with the prediction neighbourhood widened to match.
+    ``multi_ref``: per-block selection between the previous and the
+    TWO-BACK reconstruction (mode MODE_INTER_REF2; searched at 2x the
+    per-frame radius since the content moved two frames) — H.264-style
+    multiple reference frames, RD-chosen. The decoder handles mode 2
+    without a header flag (decode_plane carries both references).
     """
     if me_radius > 56:
         raise ValueError(
@@ -374,6 +385,8 @@ def encode_plane(
         )
     n, h, w = plane.shape
     factor, rounds, reach = _me_plan(me_radius)
+    radius2 = min(2 * me_radius, 56)
+    factor2, rounds2, reach2 = _me_plan(radius2)
     qstep = qstep_from_qp(qp_map)  # (N,By,Bx)
     frames_blocks = jax.vmap(_blocks_of)(plane)  # (N,By,Bx,8,8)
 
@@ -381,7 +394,8 @@ def encode_plane(
         t_idx = jnp.arange(n)
         force_intra = (t_idx == 0) if gop <= 0 else (t_idx % gop == 0)
 
-    def step(recon_prev, inputs):
+    def step(carry, inputs):
+        recon_prev, recon_prev2 = carry
         blocks, qs, intra_only = inputs
         if me_radius > 0:
             mv = _search_mv(
@@ -392,27 +406,64 @@ def encode_plane(
             mv = jnp.zeros(blocks.shape[:2] + (2,), jnp.int32)
         pred = _motion_predict(recon_prev, mv, reach=reach)  # (By,Bx,8,8)
 
-        res_inter = blocks - pred
         c_intra = block_dct2(blocks)
-        c_inter = block_dct2(res_inter)
+        c_inter = block_dct2(blocks - pred)
         lv_intra = _quantize(c_intra, qs)
         lv_inter = _quantize(c_inter, qs)
 
         cost_intra = _rd_cost(lv_intra, c_intra, qs)
         cost_inter = _rd_cost(lv_inter, c_inter, qs)
-        use_inter = jnp.logical_and(cost_inter <= cost_intra, ~intra_only)
 
+        if multi_ref:
+            if me_radius > 0:
+                mv2 = _search_mv(
+                    recon_prev2, blocks, radius2, me_step, me_halfpel,
+                    factor2, rounds2, reach2,
+                )
+            else:
+                mv2 = jnp.zeros(blocks.shape[:2] + (2,), jnp.int32)
+            pred2 = _motion_predict(recon_prev2, mv2, reach=reach2)
+            c_inter2 = block_dct2(blocks - pred2)
+            lv_inter2 = _quantize(c_inter2, qs)
+            cost_inter2 = _rd_cost(lv_inter2, c_inter2, qs)
+            costs = jnp.stack([cost_intra, cost_inter, cost_inter2], axis=-1)
+            # intra wins ties; forced-intra frames only consider mode 0
+            costs = jnp.where(
+                intra_only, costs.at[..., 1:].set(jnp.inf), costs
+            )
+            mode = jnp.argmin(costs, axis=-1).astype(jnp.int8)  # (By,Bx)
+            onehot = (jnp.arange(3)[:, None, None] == mode[None]).astype(jnp.float32)
+            lv = (
+                jnp.stack([lv_intra, lv_inter, lv_inter2]).astype(jnp.float32)
+                * onehot[..., None, None]
+            ).sum(axis=0)
+            pred_sel = (
+                jnp.stack([jnp.zeros_like(pred), pred, pred2])
+                * onehot[..., None, None]
+            ).sum(axis=0)
+            mv = jnp.where((mode == MODE_INTER)[..., None], mv,
+                           jnp.where((mode == MODE_INTER_REF2)[..., None], mv2, 0))
+            rec = jnp.clip(
+                block_idct2(lv * qs[..., None, None]) + pred_sel, 0.0, 255.0
+            )
+            recon = _plane_of(rec)
+            return (recon, recon_prev), (lv.astype(jnp.int16), mode,
+                                         mv.astype(jnp.int8), recon)
+
+        use_inter = jnp.logical_and(cost_inter <= cost_intra, ~intra_only)
         lv = jnp.where(use_inter[..., None, None], lv_inter, lv_intra)
         mv = jnp.where(use_inter[..., None], mv, 0)
         rec_res = block_idct2(_dequantize(lv, qs))
         rec = jnp.where(use_inter[..., None, None], rec_res + pred, rec_res)
         rec = jnp.clip(rec, 0.0, 255.0)
         recon = _plane_of(rec)
-        return recon, (lv, use_inter.astype(jnp.int8), mv.astype(jnp.int8), recon)
+        return (recon, recon_prev), (
+            lv, use_inter.astype(jnp.int8), mv.astype(jnp.int8), recon
+        )
 
     init = jnp.zeros((h, w), dtype=jnp.float32)
     _, (levels, modes, mvs, recons) = jax.lax.scan(
-        step, init, (frames_blocks, qstep, force_intra)
+        step, (init, init), (frames_blocks, qstep, force_intra)
     )
     by, bx = levels.shape[1], levels.shape[2]
     # float32 return: int16 device->host transfers are pathologically slow
@@ -433,26 +484,37 @@ def decode_plane(
     h: int,
     w: int,
     reach: int = 1,
+    multi_ref: bool = False,
 ) -> jnp.ndarray:
     """Inverse of encode_plane: levels ``(N,By,Bx,64)``, modes
     ``(N,By,Bx)``, mvs ``(N,By,Bx,2)``, qp_map ``(N,By,Bx)`` ->
     plane ``(N,H,W)`` float32. ``reach`` must cover the stream's max
-    |mv| (the container derives it host-side: ceil(max|mv2|/16))."""
+    |mv| (the container derives it host-side: ceil(max|mv2|/16)).
+    ``multi_ref``: honour MODE_INTER_REF2 blocks (prediction from the
+    two-back reconstruction); the container sets it iff mode 2 appears on
+    P frames, so plain streams pay no extra motion compensation."""
     n, by, bx, _ = levels.shape
     qstep = qstep_from_qp(qp_map)
     lv = levels.reshape(n, by, bx, BLOCK, BLOCK).astype(jnp.float32)
 
-    def step(recon_prev, inputs):
+    def step(carry, inputs):
+        recon_prev, recon_prev2 = carry
         lvl, mode, mv, qs = inputs
         pred = _motion_predict(recon_prev, mv.astype(jnp.int32), reach=reach)
+        if multi_ref:
+            pred2 = _motion_predict(recon_prev2, mv.astype(jnp.int32), reach=reach)
+            pred = jnp.where((mode == MODE_INTER_REF2)[..., None, None], pred2, pred)
+            is_inter = (mode == MODE_INTER) | (mode == MODE_INTER_REF2)
+        else:
+            is_inter = mode == MODE_INTER
         rec_res = block_idct2(lvl * qs[..., None, None])
-        rec = jnp.where((mode == MODE_INTER)[..., None, None], rec_res + pred, rec_res)
+        rec = jnp.where(is_inter[..., None, None], rec_res + pred, rec_res)
         rec = jnp.clip(rec, 0.0, 255.0)
         recon = _plane_of(rec)
-        return recon, recon
+        return (recon, recon_prev), recon
 
     init = jnp.zeros((h, w), dtype=jnp.float32)
-    _, recons = jax.lax.scan(step, init, (lv, modes, mvs, qstep))
+    _, recons = jax.lax.scan(step, (init, init), (lv, modes, mvs, qstep))
     return recons
 
 
@@ -464,6 +526,7 @@ def encode_plane_b(
     me_step: int = 1,
     me_halfpel: bool = True,
     b_qp_offset: int = 2,
+    multi_ref: bool = False,
 ):
     """B-frame GOP structure, TPU-native: even-index frames form the
     P-reference chain (sequential ``lax.scan``, exactly encode_plane's
@@ -503,7 +566,7 @@ def encode_plane_b(
         fi[1:] = (te[1:] // gop) != (te[:-1] // gop)
     lv_e, md_e, mv_e, rec_e = encode_plane(
         plane[::2], qp_map[::2], gop=0, me_radius=ref_radius, me_step=me_step,
-        me_halfpel=me_halfpel, force_intra=jnp.asarray(fi),
+        me_halfpel=me_halfpel, force_intra=jnp.asarray(fi), multi_ref=multi_ref,
     )
 
     by, bx = qp_map.shape[1], qp_map.shape[2]
@@ -578,10 +641,12 @@ def decode_plane_b(
     w: int,
     reach: int = 1,
     b_qp_offset: int = 2,
+    multi_ref: bool = False,
 ) -> jnp.ndarray:
     """Inverse of encode_plane_b: mvs ``(N,By,Bx,2,2)`` [fwd, bwd]
-    half-pel. Even frames decode as the sequential reference chain, odd
-    (B) frames decode in parallel from their two references."""
+    half-pel. Even frames decode as the sequential reference chain
+    (``multi_ref`` iff mode 2 appears there), odd (B) frames decode in
+    parallel from their two references."""
     n, by, bx, _ = levels.shape
     ne = (n + 1) // 2
     nb = n // 2
@@ -590,7 +655,8 @@ def decode_plane_b(
     lv = levels.reshape(n, by, bx, BLOCK, BLOCK).astype(jnp.float32)
 
     rec_e = decode_plane(
-        levels[::2], modes[::2], mvs[::2, :, :, 0, :], qp_map[::2], h, w, reach=reach
+        levels[::2], modes[::2], mvs[::2, :, :, 0, :], qp_map[::2], h, w,
+        reach=reach, multi_ref=multi_ref,
     )
 
     if nb:
