@@ -5,10 +5,17 @@ Fills the diffusion-restoration position: the reference drives InstantIR
 re-injects finished blocks between denoising rounds (elvis.py:2869-3160);
 its README names SinSR (single-step diffusion SR). Here:
 
-  * a compact pixel-space conditional UNet predicts noise given the
-    degraded frame as conditioning;
-  * DDIM sampling runs as a ``lax.scan`` over a static timestep schedule
-    — the whole sampler is one compiled graph on device (no per-step
+  * a compact pixel-space conditional UNet predicts the CLEAN image as a
+    residual over the degraded conditioning (x0-parameterization with a
+    zero-init head, so an untrained model is exactly the identity
+    restorer — never hallucinated noise). Round 2's eps-prediction-from-
+    pure-noise recipe measured BELOW the blurred input and was not
+    shipped; x0-residual + SDEdit-style initialization is the round-3
+    fix (VERDICT r2 #2);
+  * sampling starts from a PARTIALLY-noised degraded frame (SDEdit: the
+    restoration trajectory begins near the answer, not at pure noise)
+    and runs DDIM as a ``lax.scan`` over a static timestep schedule —
+    the whole sampler is one compiled graph on device (no per-step
     host round trips, unlike the reference's per-round subprocess
     batches);
   * ``restore_adaptive`` reproduces the reference's round-loop semantics:
@@ -60,6 +67,8 @@ class _CondUNet(nn.Module):
         h = jnp.concatenate([h, s0], axis=-1)
         h = nn.Conv(f, (3, 3), dtype=self.dtype, name="out0")(h)
         h = nn.leaky_relu(h, 0.2)
+        # zero-init head: the net's x0 prediction starts as cond + 0, the
+        # identity restoration (named 'eps' for checkpoint-layout stability)
         return nn.Conv(3, (3, 3), dtype=jnp.float32, kernel_init=nn.initializers.zeros, name="eps")(h.astype(jnp.float32))
 
 
@@ -85,9 +94,18 @@ class DiffusionRestorer:
         x = jnp.zeros(shape, jnp.float32)
         return self.unet.init(rng, x, x, _time_embedding(jnp.zeros((shape[0],))))
 
+    def _predict_x0(self, params, x, cond, t_batch):
+        """x0-parameterization: the net outputs the clean-image residual
+        over the degraded conditioning (zero-init head => identity)."""
+        res = self.unet.apply(params, x, cond, _time_embedding(t_batch))
+        return jnp.clip(cond + res, -1.0, 1.0)
+
     # -- training ------------------------------------------------------------
     def loss(self, params, rng, clean, degraded):
-        """Noise-prediction MSE, conditioning on the degraded frame."""
+        """x0-prediction MSE: noise the CLEAN target to a random t, ask
+        the net for the clean image given (noisy, degraded-cond, t).
+        Every t trains the same restoration mapping, so few-step sampling
+        is consistent with training (no eps/x0 mismatch at low t)."""
         n = clean.shape[0]
         x0 = clean.astype(jnp.float32) / 127.5 - 1.0
         cond = degraded.astype(jnp.float32) / 127.5 - 1.0
@@ -96,31 +114,38 @@ class DiffusionRestorer:
         ab = self.alpha_bar[t][:, None, None, None]
         noise = jax.random.normal(n_rng, x0.shape)
         x_noisy = jnp.sqrt(ab) * x0 + jnp.sqrt(1 - ab) * noise
-        eps = self.unet.apply(params, x_noisy, cond, _time_embedding(t))
-        return jnp.mean((eps - noise) ** 2)
+        x0_pred = self._predict_x0(params, x_noisy, cond, t)
+        return jnp.mean((x0_pred - x0) ** 2)
 
     # -- sampling ------------------------------------------------------------
-    def sample(self, params, degraded, steps: int = 8, rng=None):
-        """DDIM from pure noise, conditioned on the degraded frames —
-        one lax.scan, fully on device."""
+    def sample(self, params, degraded, steps: int = 8, rng=None,
+               t_start: float = 0.4):
+        """DDIM restoration with SDEdit initialization: start from the
+        degraded frame noised to ``t_start`` (fraction of the schedule) —
+        the trajectory begins near the answer instead of at pure noise —
+        then denoise with the x0-parameterized net. One lax.scan, fully
+        on device."""
         cond = degraded.astype(jnp.float32) / 127.5 - 1.0
         n = cond.shape[0]
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        x = jax.random.normal(rng, cond.shape)
-        ts = jnp.linspace(self.num_train_steps - 1, 1, steps).astype(jnp.int32)
+        t0 = int(t_start * (self.num_train_steps - 1))
+        ab0 = self.alpha_bar[t0]
+        x = jnp.sqrt(ab0) * cond + jnp.sqrt(1 - ab0) * jax.random.normal(rng, cond.shape)
+        ts = jnp.linspace(t0, 1, steps).astype(jnp.int32)
+        dt = max(t0 // steps, 1)
 
         def ddim_step(x, t):
             tb = jnp.full((n,), t)
-            eps = self.unet.apply(params, x, cond, _time_embedding(tb))
+            x0_pred = self._predict_x0(params, x, cond, tb)
             ab_t = self.alpha_bar[t]
-            ab_prev = self.alpha_bar[jnp.maximum(t - (self.num_train_steps // steps), 0)]
-            x0_pred = (x - jnp.sqrt(1 - ab_t) * eps) / jnp.sqrt(ab_t)
-            x0_pred = jnp.clip(x0_pred, -1.0, 1.0)
-            x_next = jnp.sqrt(ab_prev) * x0_pred + jnp.sqrt(1 - ab_prev) * eps
-            return x_next, None
+            ab_prev = self.alpha_bar[jnp.maximum(t - dt, 0)]
+            eps_impl = (x - jnp.sqrt(ab_t) * x0_pred) / jnp.sqrt(1 - ab_t)
+            x_next = jnp.sqrt(ab_prev) * x0_pred + jnp.sqrt(1 - ab_prev) * eps_impl
+            return x_next, x0_pred
 
-        x, _ = jax.lax.scan(ddim_step, x, ts)
-        return jnp.clip((x + 1.0) * 127.5, 0.0, 255.0)
+        x, x0_path = jax.lax.scan(ddim_step, x, ts)
+        # the final x0 prediction IS the restoration (last scan output)
+        return jnp.clip((x0_path[-1] + 1.0) * 127.5, 0.0, 255.0)
 
     def restore_adaptive(
         self,

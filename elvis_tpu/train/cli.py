@@ -37,7 +37,8 @@ def _mesh():
 def _train_sr(model, tag: str, steps: int, ckpt_dir: str, lr: float, batch: int,
               patch: int, log_every: int, block_size: int,
               natural_fraction: float = 0.75, photo_fraction: float = 0.0,
-              ema_decay: float = 0.999, val_every: int = 0):
+              ema_decay: float = 0.999, val_every: int = 0,
+              photos: tuple = ("china", "flower")):
     """Train a 2x upsampler THROUGH the progressive restoration loop.
 
     Per-stage SR training does not compose: the deployed model runs
@@ -61,7 +62,8 @@ def _train_sr(model, tag: str, steps: int, ckpt_dir: str, lr: float, batch: int,
     from elvis_tpu.restore.progressive import progressive_restore
     from elvis_tpu.train import Trainer
     from elvis_tpu.train.data import (
-        codec_noise, natural_frames, photo_patch_pool, synthetic_frames)
+        codec_noise, natural_frames, photo_patch_pool, photometric_augment,
+        synthetic_frames)
 
     params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, patch // 2, patch // 2, 3)))
     max_level = 3  # static stage count: factors up to 8x
@@ -70,13 +72,13 @@ def _train_sr(model, tag: str, steps: int, ckpt_dir: str, lr: float, batch: int,
     # the missing statistics the quality tier overfit past in round 2's
     # procedural-only recipes.
     pool = (
-        jnp.asarray(photo_patch_pool(patch, True, 2048, 0))
+        jnp.asarray(photo_patch_pool(patch, True, 2048, 0, photos))
         if photo_fraction > 0 else None
     )
 
     @jax.jit
     def make_batch(rng):
-        k1, k2, k3, k4, k5, k6, k7 = jax.random.split(rng, 7)
+        k1, k2, k3, k4, k5, k6, k7, k8 = jax.random.split(rng, 8)
         # natural-statistics vs legacy band-limited content mix
         clean = jnp.where(
             jax.random.bernoulli(k4, natural_fraction, (batch, 1, 1, 1)),
@@ -89,6 +91,10 @@ def _train_sr(model, tag: str, steps: int, ckpt_dir: str, lr: float, batch: int,
                 jax.random.bernoulli(k7, photo_fraction, (batch, 1, 1, 1)),
                 photo, clean,
             )
+        # photometric jitter on the clean source (round-3 anti-overfit
+        # lever: the photo pool is two images; gamma/gain/cast jitter
+        # multiplies its effective diversity)
+        clean = photometric_augment(k8, clean)
         scores = jax.random.uniform(k2, (batch, patch // block_size, patch // block_size))
         degraded, levels = adaptive_downsample(clean, scores, block_size)
         degraded = codec_noise(k3, degraded, block_size)
@@ -130,7 +136,7 @@ def _train_sr(model, tag: str, steps: int, ckpt_dir: str, lr: float, batch: int,
         from elvis_tpu.train.data import photo_patch_pool as _pool
 
         vp = 128
-        val_clean = jnp.asarray(_pool(vp, False, 16, 1))
+        val_clean = jnp.asarray(_pool(vp, False, 16, 1, photos))
         vk = jax.random.PRNGKey(123)
         val_scores = jax.random.uniform(vk, (16, vp // block_size, vp // block_size))
         val_degraded, val_levels = jax.jit(
@@ -181,22 +187,24 @@ def _train_sr(model, tag: str, steps: int, ckpt_dir: str, lr: float, batch: int,
 
 def train_srnet(steps: int, ckpt_dir: str, lr: float = 1e-4, batch: int = 16, patch: int = 64,
                 log_every: int = 50, block_size: int = 8,
-                photo_fraction: float = 0.5, val_every: int = 0):
+                photo_fraction: float = 0.5, val_every: int = 0,
+                photos: tuple = ("china", "flower")):
     from elvis_tpu.models import SRNet
 
     return _train_sr(SRNet(), "srnet", steps, ckpt_dir, lr, batch, patch,
                      log_every, block_size, photo_fraction=photo_fraction,
-                     val_every=val_every)
+                     val_every=val_every, photos=photos)
 
 
 def train_srnet_compact(steps: int, ckpt_dir: str, lr: float = 4e-4, batch: int = 16,
                         patch: int = 64, log_every: int = 50, block_size: int = 8,
-                        photo_fraction: float = 0.5, val_every: int = 0):
+                        photo_fraction: float = 0.5, val_every: int = 0,
+                        photos: tuple = ("china", "flower")):
     from elvis_tpu.models import SRNetCompact
 
     return _train_sr(SRNetCompact(), "srnet_compact", steps, ckpt_dir, lr, batch,
                      patch, log_every, block_size, photo_fraction=photo_fraction,
-                     val_every=val_every)
+                     val_every=val_every, photos=photos)
 
 
 def train_deblur(steps: int, ckpt_dir: str, lr: float = 2e-4, batch: int = 8, patch: int = 64,
@@ -363,28 +371,51 @@ def train_inpaint(steps: int, ckpt_dir: str, lr: float = 2e-4, frames: int = 8, 
 
 
 def train_diffusion(steps: int, ckpt_dir: str, lr: float = 2e-4, batch: int = 16,
-                    patch: int = 64, max_rounds: int = 10, log_every: int = 50):
-    """Conditional diffusion restorer (the InstantIR slot) on blur pairs:
-    noise-prediction MSE conditioned on the adaptively-blurred frame
-    (models.diffusion; round-loop inference semantics elvis.py:2947-2981).
-    Makes the 'diffusion' deblur backend selectable with real weights."""
+                    patch: int = 64, max_rounds: int = 10, log_every: int = 50,
+                    photo_fraction: float = 0.5, val_every: int = 0,
+                    ema_decay: float = 0.999):
+    """Conditional diffusion restorer (the InstantIR slot): x0-residual
+    prediction conditioned on the adaptively-blurred frame (models.
+    diffusion; round-loop inference semantics elvis.py:2869-3160).
+
+    Round-3 recipe (VERDICT r2 #2): the blur-strength curriculum is biased
+    HEAVY (scores ~ sqrt(U) so most blocks sit at rounds>=5 — the regime
+    where the reference's InstantIR beats classical restore,
+    DEGRADATION_ABLATION_REPORT.tex:630-653, and where DeblurUNet/unsharp
+    are weakest), half the batches are real-photo patches with photometric
+    jitter, and checkpoint selection validates the SAMPLED restoration
+    (not the train loss) on a held-out heavy-blur photo strip."""
     import jax
     import jax.numpy as jnp
 
     from elvis_tpu.degrade import adaptive_blur
     from elvis_tpu.models import DiffusionRestorer
     from elvis_tpu.train import Trainer
-    from elvis_tpu.train.data import natural_frames
+    from elvis_tpu.train.data import (
+        natural_frames, photo_patch_pool, photometric_augment)
 
     b = 8
     d = DiffusionRestorer()
     params = jax.jit(lambda r: d.init(r, (1, patch, patch, 3)))(jax.random.PRNGKey(0))
 
+    pool = (
+        jnp.asarray(photo_patch_pool(patch, True, 2048, 0))
+        if photo_fraction > 0 else None
+    )
+
     @jax.jit
     def make_batch(rng):
-        k1, k2 = jax.random.split(rng)
+        k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
         clean = natural_frames(k1, batch, patch, patch)
-        scores = jax.random.uniform(k2, (batch, patch // b, patch // b))
+        if pool is not None:
+            photo = pool[jax.random.randint(k3, (batch,), 0, pool.shape[0])]
+            clean = jnp.where(
+                jax.random.bernoulli(k4, photo_fraction, (batch, 1, 1, 1)),
+                photo, clean,
+            )
+        clean = photometric_augment(k5, clean)
+        # heavy-blur bias: scores ~ sqrt(U) => median round = 7
+        scores = jnp.sqrt(jax.random.uniform(k2, (batch, patch // b, patch // b)))
         degraded, _ = adaptive_blur(clean, scores, b, max_rounds)
         return clean, degraded
 
@@ -393,13 +424,56 @@ def train_diffusion(steps: int, ckpt_dir: str, lr: float = 2e-4, batch: int = 16
         return d.loss(p, rng, clean, degraded)
 
     trainer = Trainer(loss_fn, params, mesh=_mesh(), learning_rate=lr, ckpt_dir=ckpt_dir)
+
+    ema_update = jax.jit(
+        lambda e, p: jax.tree.map(
+            lambda a, q: ema_decay * a + (1.0 - ema_decay) * q, e, p
+        )
+    )
+    ema = jax.jit(lambda t: jax.tree.map(jnp.copy, t))(trainer.state.params)
+    best_psnr, best_params = -1.0, None
+    if val_every > 0:
+        vp = 128
+        val_clean = jnp.asarray(photo_patch_pool(vp, False, 16, 1))
+        # heavy-blur validation: the regime the slot must win
+        val_scores = 0.5 + 0.5 * jax.random.uniform(
+            jax.random.PRNGKey(123), (16, vp // b, vp // b)
+        )
+        val_degraded, val_levels = jax.jit(
+            lambda a, s: adaptive_blur(a, s, b, max_rounds)
+        )(val_clean, val_scores)
+        blurred_psnr = float(
+            -10.0 * jnp.log10(jnp.mean((val_degraded - val_clean) ** 2) / 255.0**2)
+        )
+        print(f"diffusion val blurred-input psnr: {blurred_psnr:.3f}", flush=True)
+
+        @jax.jit
+        def val_psnr(p):
+            out = d.sample(p, val_degraded, steps=4, rng=jax.random.PRNGKey(5))
+            return -10.0 * jnp.log10(jnp.mean((out - val_clean) ** 2) / 255.0**2)
+
     rng = jax.random.PRNGKey(1)
     t0 = time.time()
     for step in range(steps):
         rng, k1, k2 = jax.random.split(rng, 3)
         loss = trainer.step(make_batch(k1), k2)
+        ema = ema_update(ema, trainer.state.params)
+        if val_every > 0 and (step % val_every == 0 or step == steps - 1) and step > 0:
+            vp_now = float(val_psnr(ema))
+            mark = ""
+            if vp_now > best_psnr:
+                best_psnr, best_params = vp_now, jax.tree.map(lambda x: x, ema)
+                mark = " *best"
+            print(f"diffusion step {step}: val sampled psnr {vp_now:.3f}{mark}",
+                  flush=True)
         if step % log_every == 0 or step == steps - 1:
             print(f"diffusion step {step}: loss {loss:.6f} ({time.time()-t0:.0f}s)", flush=True)
+    if best_params is not None:
+        import dataclasses as _dc
+
+        trainer.state = _dc.replace(trainer.state, params=best_params)
+        print(f"diffusion: saving best-EMA checkpoint (val psnr {best_psnr:.3f})",
+              flush=True)
     trainer.save("diffusion")
     return trainer
 
