@@ -40,6 +40,16 @@ __all__ = [
 ]
 
 BLOCK = 8
+# B-frame mode-decision cost: "bits" = estimated coefficient+mv bits
+# (honest rate accounting, the round-3 default), "l1" = the round-2
+# L1-coefficient proxy (kept for A/B measurement). B_MODE_MV_SCALE
+# calibrates the per-vector charge against actual range-coder output;
+# 0.5 measured Pareto-safe across the pan/noise/occlusion suite
+# (pan -0.6% bytes +0.03 dB, occlusion-flicker -6.7% bytes +0.10 dB,
+# noise neutral; scale 1.0 wins more on pans but costs +1% on noise,
+# 2.0 over-corrects — full table in DESIGN.md).
+B_MODE_COST = "bits"
+B_MODE_MV_SCALE = 0.5
 MODE_INTRA = 0
 MODE_INTER = 1  # forward (previous-reference) prediction
 # Mode value 2 is parity-resolved: on B (odd) frames of a b_frames stream
@@ -592,12 +602,35 @@ def encode_plane_b(
             pb = _motion_predict(rb, mvb, reach=reach)
             pbi = 0.5 * (pf + pb)
             preds = jnp.stack([jnp.zeros_like(pf), pf, pb, pbi])  # (4,By,Bx,b,b)
-            # B-mode selection keeps the L1-coefficient proxy: the RD cost
-            # measured bit-inefficient here (it trades ~10x more bytes per
-            # dB than the QP ladder — bi/backward residuals are cheap in
-            # distortion but their coefficients+vectors are not free).
             lvs = jnp.stack([_quantize(block_dct2(blocks - p), qs) for p in preds])
-            costs = jnp.abs(lvs).sum(axis=(-2, -1))  # (4,By,Bx)
+            if B_MODE_COST == "bits":
+                # Honest rate decision (round 3): estimated coefficient
+                # bits (the range coder's binarization, as in _rd_cost)
+                # PLUS per-active-list motion-vector bits. B frames are
+                # never referenced, so at fixed QP the distortion across
+                # modes is bounded by quantization — minimizing honest
+                # bits is the right objective (full D+lambda*R measured
+                # ~10x the QP ladder's bytes-per-dB here in round 2; the
+                # L1 proxy under-charged bi/backward's extra vectors).
+                mag = jnp.abs(lvs).astype(jnp.float32)
+                cbits = jnp.where(
+                    mag > 0, 2.0 * jnp.ceil(jnp.log2(mag + 1.0)) + 2.0, 0.05
+                ).sum(axis=(-2, -1))  # (4,By,Bx)
+
+                def mvbits(v):
+                    a = jnp.abs(v).astype(jnp.float32)
+                    return jnp.where(
+                        a > 0, 2.0 * jnp.ceil(jnp.log2(a + 1.0)) + 2.0, 0.2
+                    ).sum(axis=-1)  # (By,Bx)
+
+                zero = jnp.zeros_like(mvbits(mvf))
+                vbits = jnp.stack(
+                    [zero, mvbits(mvf), mvbits(mvb), mvbits(mvf) + mvbits(mvb)]
+                )
+                costs = cbits + B_MODE_MV_SCALE * vbits
+            else:
+                # round-2 L1-coefficient proxy (kept measurable)
+                costs = jnp.abs(lvs).sum(axis=(-2, -1))  # (4,By,Bx)
             mode = jnp.argmin(jnp.moveaxis(costs, 0, -1), axis=-1)  # (By,Bx)
             onehot = (jnp.arange(4)[:, None, None] == mode[None]).astype(jnp.float32)
             lv = (lvs.astype(jnp.float32) * onehot[..., None, None]).sum(axis=0)

@@ -38,7 +38,7 @@ def _train_sr(model, tag: str, steps: int, ckpt_dir: str, lr: float, batch: int,
               patch: int, log_every: int, block_size: int,
               natural_fraction: float = 0.75, photo_fraction: float = 0.0,
               ema_decay: float = 0.999, val_every: int = 0,
-              photos: tuple = ("china", "flower")):
+              photos: tuple = ("china", "flower"), weight_decay: float = 1e-4):
     """Train a 2x upsampler THROUGH the progressive restoration loop.
 
     Per-stage SR training does not compose: the deployed model runs
@@ -114,7 +114,8 @@ def _train_sr(model, tag: str, steps: int, ckpt_dir: str, lr: float, batch: int,
     schedule = optax.warmup_cosine_decay_schedule(
         0.0, lr, warmup_steps=min(100, steps // 10 + 1), decay_steps=steps
     )
-    trainer = Trainer(loss_fn, params, mesh=_mesh(), learning_rate=schedule, ckpt_dir=ckpt_dir)
+    trainer = Trainer(loss_fn, params, mesh=_mesh(), learning_rate=schedule,
+                      ckpt_dir=ckpt_dir, weight_decay=weight_decay)
 
     # EMA + held-out-validation checkpoint selection: the round-2 failure
     # mode was procedural overfit (wins in-corpus, loses on the photo).

@@ -105,13 +105,14 @@ class Trainer:
         mesh: Optional[Mesh] = None,
         learning_rate: float = 2e-4,
         ckpt_dir: Optional[str] = None,
+        weight_decay: float = 1e-4,
     ):
         if mesh is None:
             from elvis_tpu.parallel.mesh import make_mesh
 
             mesh = make_mesh()
         self.mesh = mesh
-        self.optimizer = optax.adamw(learning_rate)
+        self.optimizer = optax.adamw(learning_rate, weight_decay=weight_decay)
         # jit the init: optax's eager per-leaf zeros_like dispatches ~2
         # tiny device ops per parameter, which stalls badly on high-latency
         # device transports (this image's TPU tunnel).

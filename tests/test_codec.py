@@ -378,8 +378,9 @@ class TestMotionCompensation:
         from elvis_tpu.codec.dispatch import make_pipeline_codec
 
         c = make_pipeline_codec("nvc", str(tmp_path), 64, 48,
-                                nvc_b_frames=True, nvc_me_radius=9)
-        assert c._kw == {"b_frames": True, "me_radius": 9}
+                                nvc_b_frames=True, nvc_me_radius=9,
+                                nvc_multi_ref=True)
+        assert c._kw == {"b_frames": True, "me_radius": 9, "multi_ref": True}
 
     def test_dc_dpcm_saves_bytes_and_is_lossless(self, rng, monkeypatch):
         """DC-level DPCM (JPEG-style) is a lossless entropy-side
@@ -669,3 +670,50 @@ class TestMultiRefP:
         assert not (luma_modes(s) == 2).any()
         d, _ = nvc_decode(s)
         assert d.shape == tiny_video.shape
+
+
+class TestBModeBitEstimate:
+    def test_bits_cost_beats_l1_on_occlusion(self, rng):
+        """The calibrated bit-estimate B-mode decision (B_MODE_COST=
+        'bits', mv charge scale 0.5) must beat the round-2 L1 proxy in
+        BYTES at >= PSNR on occlusion/flicker content — the measured
+        result that made it the default (round-3 agenda)."""
+        import elvis_tpu.codec.nvc.transform as T
+        from elvis_tpu.codec.nvc import codec as C
+
+        yy, xx = np.mgrid[0:64, 0:96].astype(np.float32)
+        base = np.clip(np.stack([
+            128 + 80 * np.sin(2 * np.pi * (xx + 13 * c) / 37)
+            * np.cos(2 * np.pi * (yy - 7 * c) / 29)
+            + 20 * np.sin(2 * np.pi * xx / 7)
+            for c in range(3)
+        ], -1) + rng.normal(0, 3, (64, 96, 3)), 0, 255).astype(np.uint8)
+        frames = []
+        for t in range(10):
+            f = base.copy()
+            if t % 2 == 1:
+                x0 = 10 * (t % 5)
+                f[:, x0:x0 + 40] = np.clip(
+                    255 - f[:, x0:x0 + 40].astype(int), 0, 255
+                ).astype(np.uint8)
+            frames.append(f)
+        clip = np.stack(frames)
+
+        def run():
+            C._encode_planes_jit.clear_cache()
+            s = C.encode(clip, qp=30, me_radius=4, b_frames=True)
+            d, _ = C.decode(s)
+            mse = ((d.astype(np.float64) - clip) ** 2).mean()
+            return len(s), 10 * np.log10(255**2 / mse)
+
+        old = T.B_MODE_COST
+        try:
+            T.B_MODE_COST = "bits"
+            b_bytes, b_psnr = run()
+            T.B_MODE_COST = "l1"
+            l_bytes, l_psnr = run()
+        finally:
+            T.B_MODE_COST = old
+            C._encode_planes_jit.clear_cache()
+        assert b_bytes < 0.98 * l_bytes, (b_bytes, l_bytes)
+        assert b_psnr >= l_psnr - 0.05, (b_psnr, l_psnr)
