@@ -360,8 +360,10 @@ def luma_modes(stream: bytes) -> np.ndarray:
     """Tooling/tests: per-block luma prediction modes ``(N, By, Bx)`` int8
     parsed from a container stream — lets container-level tests assert GOP
     periodic-intra behaviour. P-only streams carry MODE_INTRA=0 /
-    MODE_INTER=1; v3 ``b_frames`` streams additionally carry
-    MODE_INTER_BWD=2 / MODE_INTER_BI=3 on odd (B) frames."""
+    MODE_INTER=1 (plus MODE_INTER_REF2=2 when encoded with multi_ref);
+    v3 ``b_frames`` streams additionally carry MODE_INTER_BWD=2 /
+    MODE_INTER_BI=3 on odd (B) frames (mode 2 on their even P chain is
+    again the two-back reference)."""
     _, has_roi, orig_w, orig_h, n, _, _, _, _, off = _read_header(stream)
     buf = memoryview(stream)
     h = orig_h + ((-orig_h) % _PAD)

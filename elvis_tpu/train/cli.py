@@ -621,8 +621,16 @@ def main(argv=None) -> int:
     p.add_argument("--steps", type=int, default=500)
     p.add_argument("--ckpt-dir", type=str, default="checkpoints")
     p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--val-every", type=int, default=0,
+                   help="EMA + best-checkpoint selection on the held-out "
+                        "photo strip every N steps (srnet*/deblur/diffusion)")
     args = p.parse_args(argv)
-    _TRAINERS[args.model](args.steps, args.ckpt_dir, lr=args.lr)
+    kw = dict(lr=args.lr)
+    import inspect
+
+    if "val_every" in inspect.signature(_TRAINERS[args.model]).parameters:
+        kw["val_every"] = args.val_every
+    _TRAINERS[args.model](args.steps, args.ckpt_dir, **kw)
     return 0
 
 
