@@ -1,4 +1,4 @@
-from elvis_tpu.models.srnet import SRNet, SRNetCompact, srnet_upsample_fn
+from elvis_tpu.models.srnet import SRNet, SRNetCompact, SRNetLarge, srnet_upsample_fn
 from elvis_tpu.models.deblur_unet import DeblurUNet
 from elvis_tpu.models.inpaint_net import InpaintNet
 from elvis_tpu.models.saliency_net import SaliencyNet, make_neural_saliency_fn
@@ -10,6 +10,7 @@ __all__ = [
     "InpaintNet",
     "SRNet",
     "SRNetCompact",
+    "SRNetLarge",
     "SaliencyNet",
     "make_neural_saliency_fn",
     "srnet_upsample_fn",

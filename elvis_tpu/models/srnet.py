@@ -141,6 +141,16 @@ class SRNetCompact(nn.Module):
         return jnp.clip(base.astype(jnp.float32) + 127.5 * residual, 0.0, 255.0)
 
 
+def SRNetLarge() -> SRNetCompact:
+    """Mid-quality 2x SR tier: the SRNetCompact architecture scaled to
+    256ch x 8 convs. The conv-stack family generalizes off-corpus where
+    RRDB overfits (round-3 quality sweep, docs/DESIGN.md): this model
+    alone measures +1.78 dB over Lanczos on the multi-crop photo holdout
+    (vs +1.48 serving / +1.27 RRDB), and it is the third member of the
+    'srnet_ensemble' quality tier. 256 channels = 2 full MXU lanes."""
+    return SRNetCompact(features=256, num_convs=8)
+
+
 def srnet_upsample_fn(model: SRNet, params):
     """Adapter: (frames) -> 2x frames, for the progressive restore loop's
     ``upsample_fn`` slot (elvis_tpu.restore.progressive)."""

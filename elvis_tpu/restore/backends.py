@@ -50,35 +50,78 @@ def _srnet_upsampler(config, which: Optional[str] = None) -> Tuple[Optional[Call
     """(2x upsample_fn or None, provenance string). None => use Lanczos
     (mathematically identical to a zero-init SRNet, without the FLOPs).
 
-    ``which`` pins a specific tier ('srnet' quality / 'srnet_compact'
-    serving); generic slots (None) try the tiers in MEASURED-BEST order on
-    the off-corpus photo holdout (see docs/DESIGN.md; re-ordered whenever
-    retraining changes the ranking), so the reference's RealESRGAN slot
-    defaults to the checkpoint that actually wins."""
-    from elvis_tpu.models import SRNet, SRNetCompact, srnet_upsample_fn
+    ``which`` pins a tier: 'srnet' (RRDB), 'srnet_compact' (serving),
+    'srnet_large' (scaled conv stack), or 'srnet_ensemble' (the QUALITY
+    tier: every available tier's output averaged — their errors
+    decorrelate, measured above the best single model on the multi-crop
+    photo holdout, docs/DESIGN.md). Generic slots (None) take the
+    MEASURED-BEST tier on that holdout (re-ordered whenever retraining
+    changes the ranking), so the reference's RealESRGAN slot defaults to
+    what actually wins."""
+    from elvis_tpu.models import SRNet, SRNetCompact, SRNetLarge, srnet_upsample_fn
     from elvis_tpu.models.io import load_params
 
     auto = getattr(config, "auto_load_checkpoints", True)
-    tiers = {"srnet": SRNet, "srnet_compact": SRNetCompact}
-    if which in tiers:
-        order = [which]
-    else:
-        # measured-best first (bench.py re-measures both tiers every round)
-        order = ["srnet_compact", "srnet"]
-    for name in order:
+    tiers = {"srnet": SRNet, "srnet_compact": SRNetCompact,
+             "srnet_large": SRNetLarge}
+
+    def load_tier(name):
         path = default_params_path(name, config.srnet_params_path, auto)
-        if path:
-            model = tiers[name]()
-            params = load_params(model, path, jnp.zeros((1, 16, 16, 3)))
-            return srnet_upsample_fn(model, params), f"{name}:{path}"
+        if not path:
+            return None, ""
+        model = tiers[name]()
+        params = load_params(model, path, jnp.zeros((1, 16, 16, 3)))
+        return srnet_upsample_fn(model, params), path
+
+    def load_ensemble():
+        # a single user-configured srnet_params_path names ONE checkpoint;
+        # the ensemble needs the shipped tiers, so it only forms off the
+        # default auto-load paths
+        if config.srnet_params_path:
+            return None, ""
+        loaded = [(n,) + load_tier(n) for n in ("srnet_compact", "srnet",
+                                                "srnet_large")]
+        fns = [fn for _, fn, _ in loaded if fn is not None]
+        if len(fns) < 2:
+            return None, ""
+        names = " + ".join(p for _, fn, p in loaded if fn is not None)
+        k = float(len(fns))
+        return (lambda f: sum(fn(f) for fn in fns) / k,
+                f"srnet_ensemble[{names}]")
+
+    if which in tiers:
+        fn, path = load_tier(which)
+        if fn is not None:
+            return fn, f"{which}:{path}"
+        return None, "lanczos (no SR checkpoint)"
+    if which in ("srnet_ensemble", "ensemble"):
+        fn, prov = load_ensemble()
+        if fn is not None:
+            return fn, prov
+        # fall through to single tiers when one checkpoint is missing
+    # measured-best first (bench.py re-measures every tier every round):
+    # ensemble > large > compact > rrdb on the multi-crop photo holdout
+    fn, prov = load_ensemble()
+    if fn is not None:
+        return fn, prov
+    for name in ("srnet_large", "srnet_compact", "srnet"):
+        try:
+            fn, path = load_tier(name)
+        except Exception:
+            # a user-configured srnet_params_path names one specific
+            # architecture's checkpoint; other tiers' shapes won't match
+            continue
+        if fn is not None:
+            return fn, f"{name}:{path}"
     return None, "lanczos (no SR checkpoint)"
 
 
 def resolve_sr_backend(name: str, config) -> Tuple[BackendFn, str]:
     """Downsample-restoration backends: 'srnet' (progressive neural,
     falls back to Lanczos without weights), 'srnet_compact',
-    'progressive_lanczos', 'lanczos' (per-block), 'hybrid' (classical +
-    alpha*neural polish, utils.py:1575-1601), 'level_seq'
+    'srnet_large', 'srnet_ensemble' (quality tier: available tiers
+    averaged), 'progressive_lanczos', 'lanczos' (per-block), 'hybrid'
+    (classical + alpha*neural polish, utils.py:1575-1601), 'level_seq'
     (presley.py:1220-1275), 'naive_sr' (map-blind, utils.py:1428)."""
     from elvis_tpu.restore.hybrid import blended_restoration
     from elvis_tpu.restore.lanczos import restore_downsample_lanczos
@@ -92,9 +135,14 @@ def resolve_sr_backend(name: str, config) -> Tuple[BackendFn, str]:
         )
     if name == "lanczos":
         return restore_downsample_lanczos, "lanczos"
-    if name in ("srnet", "srnet_compact", "progressive_neural", "realesrgan"):
+    if name in ("srnet", "srnet_compact", "srnet_large", "srnet_ensemble",
+                "ensemble", "progressive_neural", "realesrgan"):
         up, prov = _srnet_upsampler(
-            config, which=name if name in ("srnet", "srnet_compact") else None
+            config,
+            which=name
+            if name in ("srnet", "srnet_compact", "srnet_large",
+                        "srnet_ensemble", "ensemble")
+            else None,
         )
         if up is None:
             return (

@@ -310,3 +310,47 @@ class TestTemporalWindowKnobs:
         # unreachable: PDE fill pulls toward the dark surround instead
         assert float(out_near[0, 2:6, 2:6].mean()) < 150
         assert not np.array_equal(out_far, out_near)
+
+
+class TestSrTierSelection:
+    """The SR quality ladder (VERDICT r2 #1): 'srnet_ensemble' averages
+    the serving + RRDB tiers (decorrelated errors; the measured-best
+    quality tier on the multi-crop photo holdout) and generic slots
+    resolve to the measured-best tier."""
+
+    def _cfg(self, **kw):
+        from elvis_tpu.pipeline.config import ElvisConfig
+
+        return ElvisConfig(**kw)
+
+    def test_ensemble_and_generic_resolution(self):
+        import os
+
+        import pytest
+
+        from elvis_tpu.models.io import default_checkpoint_dir
+        from elvis_tpu.restore.backends import resolve_sr_backend
+
+        root = default_checkpoint_dir()
+        if not (os.path.isdir(os.path.join(root, "srnet"))
+                and os.path.isdir(os.path.join(root, "srnet_compact"))):
+            pytest.skip("shipped SR checkpoints not present")
+        fn, prov = resolve_sr_backend("srnet_ensemble", self._cfg())
+        assert "srnet_ensemble" in prov
+        assert "srnet_compact" in prov and "checkpoints/srnet" in prov
+        # generic slot picks the measured-best tier (currently the ensemble)
+        _, gprov = resolve_sr_backend("realesrgan", self._cfg())
+        assert "srnet_ensemble" in gprov
+        # the resolved restorer runs and preserves shape
+        frames = jnp.asarray(np.full((1, 16, 16, 3), 128, np.float32))
+        levels = jnp.ones((1, 2, 2), jnp.int32)
+        out = fn(frames, levels, 8)
+        assert out.shape == frames.shape
+
+    def test_generic_without_checkpoints_is_lanczos(self):
+        from elvis_tpu.restore.backends import resolve_sr_backend
+
+        _, prov = resolve_sr_backend(
+            "realesrgan", self._cfg(auto_load_checkpoints=False)
+        )
+        assert "lanczos" in prov
