@@ -102,32 +102,39 @@ class DiffusionRestorer:
 
     # -- training ------------------------------------------------------------
     def loss(self, params, rng, clean, degraded):
-        """x0-prediction MSE: noise the CLEAN target to a random t, ask
-        the net for the clean image given (noisy, degraded-cond, t).
-        Every t trains the same restoration mapping, so few-step sampling
-        is consistent with training (no eps/x0 mismatch at low t)."""
+        """x0-prediction MSE on TRAJECTORY-CONSISTENT inputs.
+
+        Noising the clean target alone (the round-3 first recipe) leaks
+        the answer: at low t the net can copy x0 out of ``x_noisy`` and
+        never learns to deblur the conditioning — at inference, where the
+        SDEdit trajectory starts from the noised DEGRADED frame, such a
+        net collapses to the identity (measured: +0.02 dB over the
+        blurred input, invariant to steps/t_start). The fix noises a
+        random mixture ``gamma*clean + (1-gamma)*degraded``: exactly the
+        state distribution a restoration trajectory visits (early steps
+        carry the degraded frame, late steps the refined estimate), so
+        predicting x0 REQUIRES inverting the degradation."""
         n = clean.shape[0]
         x0 = clean.astype(jnp.float32) / 127.5 - 1.0
         cond = degraded.astype(jnp.float32) / 127.5 - 1.0
-        t_rng, n_rng = jax.random.split(rng)
+        t_rng, n_rng, g_rng = jax.random.split(rng, 3)
         t = jax.random.randint(t_rng, (n,), 1, self.num_train_steps)
         ab = self.alpha_bar[t][:, None, None, None]
+        gamma = jax.random.uniform(g_rng, (n, 1, 1, 1))
+        base = gamma * x0 + (1.0 - gamma) * cond
         noise = jax.random.normal(n_rng, x0.shape)
-        x_noisy = jnp.sqrt(ab) * x0 + jnp.sqrt(1 - ab) * noise
+        x_noisy = jnp.sqrt(ab) * base + jnp.sqrt(1 - ab) * noise
         x0_pred = self._predict_x0(params, x_noisy, cond, t)
         return jnp.mean((x0_pred - x0) ** 2)
 
     # -- sampling ------------------------------------------------------------
-    def sample(self, params, degraded, steps: int = 8, rng=None,
-               t_start: float = 0.4):
-        """DDIM restoration with SDEdit initialization: start from the
+    def _x0_path(self, params, cond, steps: int, t_start: float, rng):
+        """DDIM trajectory with SDEdit initialization: start from the
         degraded frame noised to ``t_start`` (fraction of the schedule) —
         the trajectory begins near the answer instead of at pure noise —
-        then denoise with the x0-parameterized net. One lax.scan, fully
-        on device."""
-        cond = degraded.astype(jnp.float32) / 127.5 - 1.0
+        and return the per-step x0 predictions ``(steps, N, H, W, 3)`` in
+        [-1, 1]. One lax.scan, fully on device."""
         n = cond.shape[0]
-        rng = rng if rng is not None else jax.random.PRNGKey(0)
         t0 = int(t_start * (self.num_train_steps - 1))
         ab0 = self.alpha_bar[t0]
         x = jnp.sqrt(ab0) * cond + jnp.sqrt(1 - ab0) * jax.random.normal(rng, cond.shape)
@@ -143,8 +150,15 @@ class DiffusionRestorer:
             x_next = jnp.sqrt(ab_prev) * x0_pred + jnp.sqrt(1 - ab_prev) * eps_impl
             return x_next, x0_pred
 
-        x, x0_path = jax.lax.scan(ddim_step, x, ts)
-        # the final x0 prediction IS the restoration (last scan output)
+        _, x0_path = jax.lax.scan(ddim_step, x, ts)
+        return x0_path
+
+    def sample(self, params, degraded, steps: int = 8, rng=None,
+               t_start: float = 0.4):
+        """Full-frame restoration: the trajectory's final x0 prediction."""
+        cond = degraded.astype(jnp.float32) / 127.5 - 1.0
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        x0_path = self._x0_path(params, cond, steps, t_start, rng)
         return jnp.clip((x0_path[-1] + 1.0) * 127.5, 0.0, 255.0)
 
     def restore_adaptive(
@@ -156,19 +170,26 @@ class DiffusionRestorer:
         max_rounds: int = 10,
         steps_per_round: int = 2,
         rng=None,
+        t_start: float = 0.4,
     ):
-        """Reference elvis.py:2947-2981 semantics: run denoising rounds;
-        after round r, blocks with strength <= r are re-injected from the
-        degraded input (they need no further hallucination)."""
-        out = degraded.astype(jnp.float32)
-        counters = strength_map.astype(jnp.int32)
+        """Reference elvis.py:2947-2981 semantics — blocks exit the
+        denoising loop after ``strength`` rounds — realised as ONE
+        conditioned DDIM trajectory: a block of strength s takes the x0
+        prediction after ``s*steps_per_round`` steps (strength 0 keeps
+        the input untouched). The first implementation re-ran sample()
+        on its own output each round; feeding restored frames back as
+        conditioning is a distribution the net never trained on, and
+        quality DECAYED with rounds (measured 27.1 -> 22.7 dB from round
+        3 to 10). A single trajectory keeps the conditioning fixed at
+        the true degraded frame, costs the same FLOPs, and later-exit
+        blocks strictly refine."""
+        cond = degraded.astype(jnp.float32) / 127.5 - 1.0
+        counters = jnp.clip(strength_map.astype(jnp.int32), 0, max_rounds)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        for r in range(max_rounds):
-            rng, step_rng = jax.random.split(rng)
-            restored = self.sample(params, out, steps=steps_per_round, rng=step_rng)
-            active = counters > r  # blocks still being restored
-            pix = upsample_map(active, block_size)[..., None]
-            out = jnp.where(pix, restored, out)
-            if bool((np.asarray(counters) <= r + 1).all()):
-                break
-        return jnp.clip(out, 0.0, 255.0)
+        steps = max_rounds * steps_per_round
+        x0_path = self._x0_path(params, cond, steps, t_start, rng)
+        out = cond
+        for r in range(1, max_rounds + 1):
+            pix = upsample_map(counters == r, block_size)[..., None]
+            out = jnp.where(pix, x0_path[r * steps_per_round - 1], out)
+        return jnp.clip((out + 1.0) * 127.5, 0.0, 255.0)

@@ -223,14 +223,16 @@ def resolve_deblur_backend(name: str, config) -> Tuple[BackendFn, str]:
 
         return deblur, f"deblur_net:{path}"
     if name == "diffusion":
-        # Slot status (VERDICT #6 resolution): the InstantIR position's
-        # PRODUCTION implementation is DeblurUNet ('deblur_net', shipped
-        # checkpoint, measured +2.9 dB over blurred input). This diffusion
-        # path keeps the reference's adaptive round-loop semantics
-        # (elvis.py:2869-3160) selectable for experimentation, but a
-        # round-2 trained eps-prediction checkpoint measured BELOW the
-        # blurred input (15.8 dB vs 19.0 dB; SDEdit-init 18.4 dB) and was
-        # deliberately not shipped — weights that hurt don't ship.
+        # The InstantIR slot's diffusion path, with SHIPPED weights
+        # (checkpoints/diffusion, round 3): trajectory-consistent
+        # x0-prediction + SDEdit init + single-trajectory adaptive
+        # restore reproduce the reference's crossover — at blur rounds
+        # >=5 unsharp HURTS (-0.9 dB vs the blurred input) while
+        # diffusion GAINS (+0.4..0.6 dB); at light blur unsharp still
+        # wins (docs/diffusion_crossover.json; reference claim
+        # DEGRADATION_ABLATION_REPORT.tex:630-653). The slot's default
+        # remains 'deblur_net' (stronger still on the mixed-strength
+        # holdout); 'diffusion' is the heavy-blur specialist.
         path = default_params_path("diffusion", None, auto)
         if not path:
             # an untrained diffusion model hallucinates noise — never a

@@ -159,3 +159,47 @@ class TestTraining:
         clip = synthetic_video_batch(jax.random.PRNGKey(0), 4, 32, 32)
         assert clip.shape == (4, 32, 32, 3)
         assert float(jnp.abs(clip[1] - clip[0]).mean()) > 0.5
+
+
+class TestDiffusionCrossover:
+    @pytest.mark.slow
+    def test_shipped_weights_beat_blurred_at_heavy_blur(self):
+        """The shipped diffusion checkpoint reproduces the reference's
+        crossover (DEGRADATION_ABLATION_REPORT.tex:630-653): at heavy
+        blur the classical unsharp restorer HURTS while diffusion GAINS
+        over the blurred input. Guards the checkpoint from regressing to
+        the identity-collapse failure mode (docs/DESIGN.md round 3)."""
+        import os
+
+        import orbax.checkpoint as ocp
+
+        from elvis_tpu.degrade import adaptive_blur
+        from elvis_tpu.metrics import masked_psnr
+        from elvis_tpu.models.io import default_checkpoint_dir
+        from elvis_tpu.restore.unsharp import restore_blur_unsharp
+        from elvis_tpu.train.evaluate import photo_clips_multi
+
+        path = os.path.join(default_checkpoint_dir(), "diffusion")
+        if not os.path.isdir(path):
+            pytest.skip("shipped diffusion checkpoint not present")
+        d = DiffusionRestorer()
+        abstract = jax.eval_shape(lambda: d.init(jax.random.PRNGKey(0)))
+        params = ocp.StandardCheckpointer().restore(
+            os.path.abspath(path), abstract
+        )
+        clip = photo_clips_multi(2, 96, 1)[0]
+        clean = jnp.asarray(clip, jnp.float32)
+        b, rounds = 8, 7
+        by = clean.shape[1] // b
+        scores = jnp.full((clean.shape[0], by, by), rounds / 10.0)
+        deg, levels = adaptive_blur(clean, scores, b, 10)
+        blurred_psnr = float(masked_psnr(clean, jnp.asarray(deg, jnp.float32)).mean())
+        unsharp_psnr = float(
+            masked_psnr(clean, jnp.asarray(
+                restore_blur_unsharp(deg, levels, b, 10), jnp.float32)).mean()
+        )
+        diff = d.restore_adaptive(params, jnp.asarray(deg, jnp.float32), levels, b,
+                                  max_rounds=10)
+        diff_psnr = float(masked_psnr(clean, diff).mean())
+        assert unsharp_psnr < blurred_psnr  # classical hurts at heavy blur
+        assert diff_psnr > blurred_psnr  # diffusion gains — the crossover
