@@ -137,6 +137,19 @@ def main() -> int:
             for _ in range(5):
                 acc += float(q_client(degraded, levels))
             quality["quality_tier_fps_1080p"] = round(n / ((time.time() - t0) / 5), 2)
+        # second, fully-INDEPENDENT holdout (pygame's 'camera' tutorial
+        # photo — part of NO training rotation): guards the headline
+        # against photo-family selection effects
+        res2 = sr_photo_eval_multi(upsample, source="camera", size=128,
+                                   with_codec_noise=False)
+        if res2.get("n"):
+            quality["camera_dpsnr_db_vs_lanczos"] = res2["dpsnr_mean"]
+            quality["camera_dpsnr_std"] = res2["dpsnr_std"]
+        if q_up is not None and "ensemble" in q_prov:
+            qres2 = sr_photo_eval_multi(q_up, source="camera", size=128,
+                                        with_codec_noise=False)
+            if qres2.get("n"):
+                quality["quality_tier_camera_dpsnr_db_vs_lanczos"] = qres2["dpsnr_mean"]
     except Exception:
         pass  # throughput metric stands alone if eval content is missing
 

@@ -113,7 +113,10 @@ class ElvisConfig:
     inpaint_backends: List[str] = field(
         default_factory=lambda: ["diffusion", "temporal", "neural"]
     )
-    sr_backends: List[str] = field(default_factory=lambda: ["srnet"])
+    # 'realesrgan' = the generic slot: resolves to the MEASURED-BEST tier
+    # (currently 'srnet_ensemble') like the reference's default quality
+    # model; pin 'srnet_compact' for the real-time serving tier.
+    sr_backends: List[str] = field(default_factory=lambda: ["realesrgan"])
     deblur_backends: List[str] = field(default_factory=lambda: ["deblur_net"])
     auto_load_checkpoints: bool = True
     max_frames: Optional[int] = None

@@ -137,7 +137,18 @@ def _train_sr(model, tag: str, steps: int, ckpt_dir: str, lr: float, batch: int,
         from elvis_tpu.train.data import photo_patch_pool as _pool
 
         vp = 128
-        val_clean = jnp.asarray(_pool(vp, False, 16, 1, photos))
+        # Draw a wide candidate pool from the held-out validation region
+        # and keep the 16 most DETAILED patches (gradient energy): a val
+        # strip that happens to be smooth (e.g. flower's bokeh right
+        # edge, Lanczos ~48 dB) leaves the selector no headroom and
+        # degenerates checkpoint selection to a no-op model (the round-3
+        # xval 'china' rotation failure, docs/DESIGN.md).
+        import numpy as _np
+
+        cand = _pool(vp, False, 96, 1, photos)
+        g = _np.abs(_np.diff(cand, axis=1)).mean(axis=(1, 2, 3)) + _np.abs(
+            _np.diff(cand, axis=2)).mean(axis=(1, 2, 3))
+        val_clean = jnp.asarray(cand[_np.argsort(-g)[:16]])
         vk = jax.random.PRNGKey(123)
         val_scores = jax.random.uniform(vk, (16, vp // block_size, vp // block_size))
         val_degraded, val_levels = jax.jit(

@@ -45,11 +45,13 @@ _HOPPER = os.path.join(
 
 
 def photo_image(source: str = "grace_hopper") -> Optional[np.ndarray]:
-    """Load one of the three real photographs in this zero-egress image:
-    matplotlib's ``grace_hopper`` (the default holdout) or sklearn's
+    """Load one of the real photographs bundled in this zero-egress image:
+    matplotlib's ``grace_hopper`` (the default holdout), sklearn's
     ``china``/``flower`` (the training photos — used as EVAL targets only
     in the cross-validation rotation, where the trainer's pool excludes
-    them; train.data.photo_patch_pool)."""
+    them; train.data.photo_patch_pool), or pygame's ``camera`` tutorial
+    photo (320x240 indoor scene) — an INDEPENDENT holdout that appears
+    in no training rotation at all."""
     try:
         from PIL import Image
 
@@ -58,6 +60,13 @@ def photo_image(source: str = "grace_hopper") -> Optional[np.ndarray]:
 
             path = os.path.join(os.path.dirname(matplotlib.__file__),
                                 "mpl-data", "sample_data", "grace_hopper.jpg")
+        elif source == "camera":
+            os.environ.setdefault("PYGAME_HIDE_SUPPORT_PROMPT", "1")
+            import pygame
+
+            path = os.path.join(os.path.dirname(pygame.__file__),
+                                "docs", "generated", "_images",
+                                "camera_rgb.jpg")
         else:
             import sklearn
 
