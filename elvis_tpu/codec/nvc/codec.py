@@ -101,6 +101,13 @@ def _chroma_qp(luma_qp: np.ndarray) -> np.ndarray:
 _decode_plane_jit = jax.jit(decode_plane, static_argnums=(4, 5, 6, 7))
 
 
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _decode_plane_chunk_jit(lv, m, v, qp, h, w, reach, mref, init):
+    r = decode_plane(lv, m, v, qp, h, w, reach=reach, multi_ref=mref,
+                     init_recon=(init[0], init[1]))
+    return r, jnp.stack([r[-1], r[max(r.shape[0] - 2, 0)]])
+
+
 def _reach_of(mvs: np.ndarray) -> int:
     """Prediction-neighbourhood radius (in blocks) covering a stream's
     stored half-pel vectors: ceil(max|mv2| / (2*BLOCK))."""
@@ -108,9 +115,13 @@ def _reach_of(mvs: np.ndarray) -> int:
     return max(1, -(-m // (2 * BLOCK)))
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11))
-def _encode_planes_jit(y, cb, cr, qp_y, qp_c, gop, me_radius, me_step, me_halfpel,
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _encode_planes_jit(rgb, qp_y, qp_c, gop, me_radius, me_step, me_halfpel,
                        b_frames=False, b_qp_offset=2, multi_ref=False):
+    # color conversion lives inside the SAME graph as the chunked path
+    # (_encode_planes_chunk_jit) so both produce identical float yuv and
+    # the chunked stream stays bit-exact vs single-scan
+    y, cb, cr = rgb_to_yuv420(rgb.astype(jnp.float32))
     enc = encode_plane_b if b_frames else encode_plane
     kw = dict(gop=gop, me_radius=me_radius, me_step=me_step, me_halfpel=me_halfpel,
               multi_ref=multi_ref)
@@ -118,10 +129,80 @@ def _encode_planes_jit(y, cb, cr, qp_y, qp_c, gop, me_radius, me_step, me_halfpe
         kw["b_qp_offset"] = b_qp_offset
     ly, my, vy, _ = enc(y, qp_y, **kw)
     # chroma at half resolution: half the search radius
-    ckw = dict(kw, me_radius=max(me_radius // 2, 0))
-    lcb, mcb, vcb, _ = enc(cb, qp_c, **ckw)
-    lcr, mcr, vcr, _ = enc(cr, qp_c, **ckw)
+    lcb, mcb, vcb, _ = enc(cb, qp_c, **dict(kw, me_radius=max(me_radius // 2, 0)))
+    lcr, mcr, vcr, _ = enc(cr, qp_c, **dict(kw, me_radius=max(me_radius // 2, 0)))
     return ly, my, vy, lcb, mcb, vcb, lcr, mcr, vcr
+
+
+# ---- bounded-memory chunked encode/decode -------------------------------
+# One clip-sized lax.scan holds every frame's coefficient/recon tensors in
+# HBM at once (~6 GB for 128 frames @1080p — measured OOM). Long clips are
+# therefore encoded in SEGMENTS: one scan per segment, carrying the
+# (prev, prev2) reference reconstructions across the boundary on device,
+# with per-segment global force-intra masks preserving the gop phase.
+# Chunked output is BIT-EXACT vs the single-scan path (tests/test_codec).
+# ``b_frames`` streams stay single-scan: a segment-final B frame's
+# backward reference lives in the next segment (needs lookahead), so the
+# memory note in encode() applies to them instead.
+_CHUNK_PIXEL_BUDGET = 1 << 25  # ~32M luma pixels/segment (16 frames @1080p)
+
+
+def _chunk_frames_for(n: int, h: int, w: int, chunk_frames: Optional[int]) -> int:
+    if chunk_frames is not None and int(chunk_frames) > 0:
+        return max(2, int(chunk_frames))
+    return max(2, _CHUNK_PIXEL_BUDGET // (h * w))
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
+def _encode_planes_chunk_jit(rgb, qp_y, qp_c, fi, init_y, init_cb, init_cr,
+                             me_radius, me_step, me_halfpel, multi_ref):
+    # color conversion happens INSIDE the per-segment graph: converting
+    # the whole clip up front would itself hold ~5 GB on device at 128
+    # frames @1080p, defeating the chunking
+    y, cb, cr = rgb_to_yuv420(rgb.astype(jnp.float32))
+    kw = dict(me_radius=me_radius, me_step=me_step, me_halfpel=me_halfpel,
+              multi_ref=multi_ref)
+    ckw = dict(kw, me_radius=max(me_radius // 2, 0))
+    ly, my, vy, ry = encode_plane(
+        y, qp_y, force_intra=fi, init_recon=(init_y[0], init_y[1]), **kw
+    )
+    lcb, mcb, vcb, rcb = encode_plane(
+        cb, qp_c, force_intra=fi, init_recon=(init_cb[0], init_cb[1]), **ckw
+    )
+    lcr, mcr, vcr, rcr = encode_plane(
+        cr, qp_c, force_intra=fi, init_recon=(init_cr[0], init_cr[1]), **ckw
+    )
+    # (2,H,W) carry: [prev, prev2] for the next segment (on a 1-frame
+    # tail segment prev2:=prev; the carry is unused after the last one)
+    p2 = max(ry.shape[0] - 2, 0)
+    return (ly, my, vy, lcb, mcb, vcb, lcr, mcr, vcr,
+            jnp.stack([ry[-1], ry[p2]]), jnp.stack([rcb[-1], rcb[p2]]),
+            jnp.stack([rcr[-1], rcr[p2]]))
+
+
+def _encode_planes_chunked(padded, qp_y, qp_c, gop, me_radius, me_step,
+                           me_halfpel, multi_ref, chunk):
+    """padded: HOST uint8 (N,H,W,3); each segment is pushed, converted,
+    and encoded on device independently — peak HBM is one segment."""
+    n, h, w = padded.shape[:3]
+    t = np.arange(n)
+    fi_all = (t == 0) if gop <= 0 else (t % gop == 0)
+    init_y = jnp.zeros((2, h, w), jnp.float32)
+    init_c = jnp.zeros((2, h // 2, w // 2), jnp.float32)
+    init_cb, init_cr = init_c, init_c
+    acc = [[] for _ in range(9)]
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        out = _encode_planes_chunk_jit(
+            jnp.asarray(padded[s:e]),  # uint8 push; f32 in-graph
+            jnp.asarray(qp_y[s:e]), jnp.asarray(qp_c[s:e]),
+            jnp.asarray(fi_all[s:e]), init_y, init_cb, init_cr,
+            me_radius, me_step, me_halfpel, multi_ref,
+        )
+        for i in range(9):
+            acc[i].append(np.asarray(out[i]))
+        init_y, init_cb, init_cr = out[9], out[10], out[11]
+    return tuple(np.concatenate(parts, axis=0) for parts in acc)
 
 
 def _pack_section(backend: int, payload: bytes) -> bytes:
@@ -175,8 +256,16 @@ def encode(
     b_frames: bool = False,
     b_qp_offset: int = 2,
     multi_ref: bool = False,
+    chunk_frames: Optional[int] = None,
 ) -> bytes:
     """frames ``(N, H, W, 3)`` uint8 RGB -> NVC bitstream bytes.
+
+    ``chunk_frames``: frames per bounded-memory encode segment (None =
+    auto: ~64M luma pixels per segment, i.e. 32 frames at 1080p —
+    long clips no longer build one clip-sized scan in HBM). Chunked
+    streams are BIT-EXACT vs single-scan. ``b_frames`` clips always
+    encode single-scan (segment-final B frames would need next-segment
+    lookahead); see the memory note below.
 
     ``multi_ref``: H.264-style two-reference P prediction (per-block
     selection between the previous and two-back reconstructions, mode
@@ -200,19 +289,25 @@ def encode(
     padded = _pad_to(frames, _PAD)
     h, w = padded.shape[1], padded.shape[2]
 
-    y, cb, cr = rgb_to_yuv420(jnp.asarray(padded).astype(jnp.float32))
     by, bx = h // BLOCK, w // BLOCK
     qp_y = _qp_maps(n, by, bx, qp, roi_delta_qp)
     qp_c = _chroma_qp(qp_y)
 
-    ly, my, vy, lcb, mcb, vcb, lcr, mcr, vcr = map(
-        np.asarray,
-        _encode_planes_jit(
-            y, cb, cr, jnp.asarray(qp_y), jnp.asarray(qp_c),
-            int(gop), me_radius, me_step, me_halfpel, bool(b_frames),
-            int(b_qp_offset), bool(multi_ref),
-        ),
-    )
+    chunk = _chunk_frames_for(n, h, w, chunk_frames)
+    if not b_frames and n > chunk:
+        ly, my, vy, lcb, mcb, vcb, lcr, mcr, vcr = _encode_planes_chunked(
+            padded, qp_y, qp_c, int(gop), me_radius, me_step,
+            me_halfpel, bool(multi_ref), chunk,
+        )
+    else:
+        ly, my, vy, lcb, mcb, vcb, lcr, mcr, vcr = map(
+            np.asarray,
+            _encode_planes_jit(
+                jnp.asarray(padded), jnp.asarray(qp_y), jnp.asarray(qp_c),
+                int(gop), me_radius, me_step, me_halfpel, bool(b_frames),
+                int(b_qp_offset), bool(multi_ref),
+            ),
+        )
     ly, lcb, lcr = (a.astype(np.int16) for a in (ly, lcb, lcr))
 
     zz = zigzag_order(BLOCK)
@@ -341,13 +436,40 @@ def decode(stream: bytes) -> Tuple[np.ndarray, float]:
         p_modes = modes[::2] if bfr else modes
         return bool((p_modes == 2).any())
 
+    # host->device as float32 (int16 transfers are pathologically slow here)
+    as_f32 = lambda a: jnp.asarray(a.astype(np.float32))
+
+    chunk = _chunk_frames_for(n, h, w, None)
+    if not bfr and n > chunk:
+        # bounded-memory decode: one scan per segment, reference carry
+        # across the boundary (mirrors the chunked encode)
+        r_y, r_cb, r_cr = _reach_of(vy), _reach_of(vcb), _reach_of(vcr)
+        m_y, m_cb, m_cr = _mref(my), _mref(mcb), _mref(mcr)
+        init_y = jnp.zeros((2, h, w), jnp.float32)
+        init_c = jnp.zeros((2, h // 2, w // 2), jnp.float32)
+        init_cb, init_cr = init_c, init_c
+        parts = []
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            yk, init_y = _decode_plane_chunk_jit(
+                as_f32(ly[s:e]), jnp.asarray(my[s:e]), jnp.asarray(vy[s:e]),
+                jnp.asarray(qp_y[s:e]), h, w, r_y, m_y, init_y)
+            cbk, init_cb = _decode_plane_chunk_jit(
+                as_f32(lcb[s:e]), jnp.asarray(mcb[s:e]), jnp.asarray(vcb[s:e]),
+                jnp.asarray(qp_c[s:e]), h // 2, w // 2, r_cb, m_cb, init_cb)
+            crk, init_cr = _decode_plane_chunk_jit(
+                as_f32(lcr[s:e]), jnp.asarray(mcr[s:e]), jnp.asarray(vcr[s:e]),
+                jnp.asarray(qp_c[s:e]), h // 2, w // 2, r_cr, m_cr, init_cr)
+            rgb = yuv420_to_rgb(yk, cbk, crk)
+            rgb = jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
+            parts.append(np.asarray(rgb[:, :orig_h, :orig_w]))
+        return np.concatenate(parts, axis=0), float(fps)
+
     if bfr:
         boff = bfr - 1
         dec = lambda *a: _decode_plane_b_jit(*a[:-1], boff, a[-1])
     else:
         dec = _decode_plane_jit
-    # host->device as float32 (int16 transfers are pathologically slow here)
-    as_f32 = lambda a: jnp.asarray(a.astype(np.float32))
     y = dec(as_f32(ly), jnp.asarray(my), jnp.asarray(vy), jnp.asarray(qp_y), h, w, _reach_of(vy), _mref(my))
     cb = dec(as_f32(lcb), jnp.asarray(mcb), jnp.asarray(vcb), jnp.asarray(qp_c), h // 2, w // 2, _reach_of(vcb), _mref(mcb))
     cr = dec(as_f32(lcr), jnp.asarray(mcr), jnp.asarray(vcr), jnp.asarray(qp_c), h // 2, w // 2, _reach_of(vcr), _mref(mcr))
@@ -403,12 +525,14 @@ class NvcCodec:
         b_frames: bool = False,
         b_qp_offset: int = 2,
         multi_ref: bool = False,
+        chunk_frames: Optional[int] = None,
     ) -> bytes:
         if (qp is None) == (target_bitrate is None):
             raise ValueError("specify exactly one of qp / target_bitrate")
         kw = dict(framerate=framerate, roi_delta_qp=roi_delta_qp, gop=gop,
                   me_radius=me_radius, me_step=me_step, me_halfpel=me_halfpel,
-                  b_frames=b_frames, b_qp_offset=b_qp_offset, multi_ref=multi_ref)
+                  b_frames=b_frames, b_qp_offset=b_qp_offset, multi_ref=multi_ref,
+                  chunk_frames=chunk_frames)
         if qp is not None:
             return encode(frames, qp=qp, **kw)
 

@@ -370,6 +370,8 @@ def encode_plane(
     me_halfpel: bool = True,
     force_intra: "jnp.ndarray | None" = None,
     multi_ref: bool = False,
+    frame_offset: int = 0,
+    init_recon: "tuple | None" = None,
 ):
     """plane ``(N, H, W)`` float32 [0,255]; qp_map ``(N, By, Bx)`` int.
 
@@ -387,6 +389,15 @@ def encode_plane(
     per-frame radius since the content moved two frames) — H.264-style
     multiple reference frames, RD-chosen. The decoder handles mode 2
     without a header flag (decode_plane carries both references).
+
+    ``frame_offset``/``init_recon``: CHUNKED encoding support — the
+    container encodes long clips in bounded-memory segments (one scan
+    per segment instead of one clip-sized scan holding every frame's
+    coefficients in HBM). ``frame_offset`` is this segment's first
+    global frame index (keeps the gop phase and the frame-0 intra
+    rule); ``init_recon`` is the ``(prev, prev2)`` reconstruction carry
+    from the previous segment. Chunked output is BIT-EXACT vs the
+    single-scan encode (tests/test_codec.py).
     """
     if me_radius > 56:
         raise ValueError(
@@ -401,7 +412,7 @@ def encode_plane(
     frames_blocks = jax.vmap(_blocks_of)(plane)  # (N,By,Bx,8,8)
 
     if force_intra is None:
-        t_idx = jnp.arange(n)
+        t_idx = jnp.arange(n) + frame_offset
         force_intra = (t_idx == 0) if gop <= 0 else (t_idx % gop == 0)
 
     def step(carry, inputs):
@@ -471,9 +482,14 @@ def encode_plane(
             lv, use_inter.astype(jnp.int8), mv.astype(jnp.int8), recon
         )
 
-    init = jnp.zeros((h, w), dtype=jnp.float32)
+    if init_recon is None:
+        zero = jnp.zeros((h, w), dtype=jnp.float32)
+        init = (zero, zero)
+    else:
+        init = (jnp.asarray(init_recon[0], jnp.float32),
+                jnp.asarray(init_recon[1], jnp.float32))
     _, (levels, modes, mvs, recons) = jax.lax.scan(
-        step, (init, init), (frames_blocks, qstep, force_intra)
+        step, init, (frames_blocks, qstep, force_intra)
     )
     by, bx = levels.shape[1], levels.shape[2]
     # float32 return: int16 device->host transfers are pathologically slow
@@ -495,6 +511,7 @@ def decode_plane(
     w: int,
     reach: int = 1,
     multi_ref: bool = False,
+    init_recon: "tuple | None" = None,
 ) -> jnp.ndarray:
     """Inverse of encode_plane: levels ``(N,By,Bx,64)``, modes
     ``(N,By,Bx)``, mvs ``(N,By,Bx,2)``, qp_map ``(N,By,Bx)`` ->
@@ -523,8 +540,13 @@ def decode_plane(
         recon = _plane_of(rec)
         return (recon, recon_prev), recon
 
-    init = jnp.zeros((h, w), dtype=jnp.float32)
-    _, recons = jax.lax.scan(step, (init, init), (lv, modes, mvs, qstep))
+    if init_recon is None:
+        zero = jnp.zeros((h, w), dtype=jnp.float32)
+        init = (zero, zero)
+    else:
+        init = (jnp.asarray(init_recon[0], jnp.float32),
+                jnp.asarray(init_recon[1], jnp.float32))
+    _, recons = jax.lax.scan(step, init, (lv, modes, mvs, qstep))
     return recons
 
 
