@@ -94,6 +94,9 @@ class APPROACHES:
     PRESLEY_UNSHARP = "PRESLEY Unsharp"
 
 
+_FRAME_CHUNK_PIXEL_BUDGET = 1 << 25  # ~32M px/chunk: 16 frames @1080p
+
+
 class _DataParallel:
     """Frame-axis data parallelism (SURVEY.md §2.7 P1-P3, P6).
 
@@ -105,6 +108,13 @@ class _DataParallel:
     version of the reference's chunk-overlap staging (elvis.py:1506-1566);
     it falls back to unsharded only when a local chunk would be smaller
     than the window itself.
+
+    SINGLE-CHIP long clips (no mesh): both entry points process the frame
+    axis in bounded-memory host chunks instead — a clip-sized graph at
+    128 frames @1080p exceeds HBM/compiler limits (measured). ``apply``
+    chunks are exact (per-frame ops); ``apply_temporal`` chunks use the
+    reference's own overlap-and-trim recipe (elvis.py:1506-1566), seeing
+    ``overlap`` context frames past each boundary.
     """
 
     def __init__(self, enabled: bool, spatial: int = 0):
@@ -121,10 +131,31 @@ class _DataParallel:
                     (("data", n_dev // spatial), ("spatial", spatial))
                 )
 
+    @staticmethod
+    def _chunk_frames(shape) -> int:
+        n, h, w = int(shape[0]), int(shape[1]), int(shape[2])
+        return max(2, _FRAME_CHUNK_PIXEL_BUDGET // (h * w))
+
     def apply(self, fn, *arrays):
         arrays = [jnp.asarray(a) for a in arrays]
         if self.mesh is None:
-            return fn(*arrays)
+            n = arrays[0].shape[0]
+            chunk = self._chunk_frames(arrays[0].shape)
+            if n <= chunk:
+                return fn(*arrays)
+            outs = []
+            for s in range(0, n, chunk):
+                e = min(s + chunk, n)
+                part = [a[s:e] for a in arrays]
+                if e - s < chunk:
+                    # pad the tail to the steady chunk shape: one compile
+                    pad = chunk - (e - s)
+                    part = [
+                        jnp.concatenate([p, jnp.repeat(p[-1:], pad, axis=0)])
+                        for p in part
+                    ]
+                outs.append(np.asarray(fn(*part)[: e - s]))
+            return np.concatenate(outs, axis=0)
         from elvis_tpu.parallel.mesh import shard_frames
 
         n = arrays[0].shape[0]
@@ -134,7 +165,17 @@ class _DataParallel:
     def apply_temporal(self, fn, arrays, overlap: int):
         arrays = [jnp.asarray(a) for a in arrays]
         if self.mesh is None:
-            return fn(*arrays)
+            n = arrays[0].shape[0]
+            chunk = self._chunk_frames(arrays[0].shape)
+            if n <= chunk:
+                return fn(*arrays)
+            outs = []
+            for s in range(0, n, chunk):
+                e = min(s + chunk, n)
+                lo, hi = max(0, s - overlap), min(n, e + overlap)
+                out = fn(*[a[lo:hi] for a in arrays])
+                outs.append(np.asarray(out[s - lo : s - lo + (e - s)]))
+            return np.concatenate(outs, axis=0)
         n = arrays[0].shape[0]
         size = self.mesh.shape["data"]
         if (n + ((-n) % size)) // size < overlap:
@@ -392,14 +433,34 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
             return jnp.asarray(np.load(path)["strength_maps"].astype(np.int32))
         return jnp.asarray(load_strength_maps_video(path).astype(np.int32))
 
+    def _degrade_chunked(op):
+        """(frames', levels) from a per-frame degrade op, computed in
+        bounded-memory frame chunks (a clip-sized degrade graph at 128
+        frames @1080p exceeds the compiler/HBM limits — measured)."""
+        jop = jax.jit(op)
+        n_f = frames.shape[0]
+        chunk = _DataParallel._chunk_frames(frames.shape)
+        if n_f <= chunk:
+            f, l = jop(frames, scores)
+            return np.asarray(f), np.asarray(l)
+        fs, ls = [], []
+        for s in range(0, n_f, chunk):
+            e = min(s + chunk, n_f)
+            f, l = jop(frames[s:e], scores[s:e])
+            fs.append(np.asarray(f))
+            ls.append(np.asarray(l))
+        return np.concatenate(fs, axis=0), np.concatenate(ls, axis=0)
+
     # --- stage 5: downsample branch (elvis.py:4462-4486) --------------------
     t0 = time.time()
 
     def _downsample():
-        down_frames, down_levels = adaptive_downsample(frames, scores, b)
-        s = codec.encode(np.asarray(down_frames), **enc_kw)
+        down_frames, down_levels = _degrade_chunked(
+            lambda f, sc: adaptive_downsample(f, sc, b)
+        )
+        s = codec.encode(down_frames, **enc_kw)
         return {"stream": s, "decoded": codec.decode(s),
-                "levels": np.asarray(down_levels)}
+                "levels": down_levels}
 
     r = cache.get_or_run("downsample_encode", _branch_key, _downsample)
     streams["downsampled"] = r["stream"]
@@ -413,12 +474,12 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
     t0 = time.time()
 
     def _gaussian():
-        blur_frames, blur_levels = adaptive_blur(
-            frames, scores, b, config.gaussian_max_rounds
+        blur_frames, blur_levels = _degrade_chunked(
+            lambda f, sc: adaptive_blur(f, sc, b, config.gaussian_max_rounds)
         )
-        s = codec.encode(np.asarray(blur_frames), **enc_kw)
+        s = codec.encode(blur_frames, **enc_kw)
         return {"stream": s, "decoded": codec.decode(s),
-                "levels": np.asarray(blur_levels)}
+                "levels": blur_levels}
 
     r = cache.get_or_run("gaussian_encode", _branch_key, _gaussian)
     streams["gaussian"] = r["stream"]
@@ -437,10 +498,12 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         t0 = time.time()
 
         def _dampen():
-            damp_frames, damp_levels = dct_dampen(frames, scores, b)
-            s = codec.encode(np.asarray(damp_frames), **enc_kw)
+            damp_frames, damp_levels = _degrade_chunked(
+                lambda f, sc: dct_dampen(f, sc, b)
+            )
+            s = codec.encode(damp_frames, **enc_kw)
             return {"stream": s, "decoded": codec.decode(s),
-                    "levels": np.asarray(damp_levels)}
+                    "levels": damp_levels}
 
         r = cache.get_or_run("dampen_encode", _branch_key, _dampen)
         streams["dampened"] = r["stream"]

@@ -231,3 +231,50 @@ class TestSpatialTileBlocks:
         results = run_elvis(config)
         assert "PRESLEY RealESRGAN" in results
         assert results["PRESLEY RealESRGAN"]["foreground"]["psnr_mean"] > 10
+
+
+class TestSingleChipFrameChunking:
+    """Single-chip long clips (no mesh): dp.apply / dp.apply_temporal
+    process the frame axis in bounded-memory host chunks — a clip-sized
+    graph at 128 frames @1080p exceeds HBM/compiler limits (measured;
+    docs/DESIGN.md round 3). apply chunks must be EXACT; apply_temporal
+    chunks follow the reference's overlap-and-trim (elvis.py:1506-1566)."""
+
+    def _dp(self, monkeypatch, budget):
+        from elvis_tpu.pipeline import run as run_mod
+
+        monkeypatch.setattr(run_mod, "_FRAME_CHUNK_PIXEL_BUDGET", budget)
+        dp = run_mod._DataParallel(False)
+        assert dp.mesh is None
+        return dp
+
+    def test_apply_chunked_exact(self, monkeypatch, rng):
+        import jax.numpy as jnp
+
+        from elvis_tpu.pipeline import run as run_mod
+
+        x = jnp.asarray(rng.random((11, 8, 8, 3)).astype(np.float32))
+        fn = lambda a: a * 2.0 + 1.0
+        full = np.asarray(fn(x))
+        dp = self._dp(monkeypatch, 3 * 8 * 8)  # 3-frame chunks
+        out = dp.apply(fn, x)
+        np.testing.assert_allclose(np.asarray(out), full)
+
+    def test_apply_temporal_overlap_and_trim(self, monkeypatch, rng):
+        """A +-1-frame temporal mean sees full context at chunk joins
+        when overlap covers the window."""
+        import jax.numpy as jnp
+
+        x = jnp.asarray(rng.random((12, 8, 8, 3)).astype(np.float32))
+
+        def smooth(a):
+            prev = jnp.concatenate([a[:1], a[:-1]])
+            nxt = jnp.concatenate([a[1:], a[-1:]])
+            return (prev + a + nxt) / 3.0
+
+        full = np.asarray(smooth(x))
+        dp = self._dp(monkeypatch, 4 * 8 * 8)  # 4-frame chunks
+        out = np.asarray(dp.apply_temporal(smooth, (x,), overlap=2))
+        # interior joins exact (overlap >= window); clip edges match the
+        # unchunked op's own edge handling
+        np.testing.assert_allclose(out, full, atol=1e-6)
