@@ -94,7 +94,7 @@ class APPROACHES:
     PRESLEY_UNSHARP = "PRESLEY Unsharp"
 
 
-_FRAME_CHUNK_PIXEL_BUDGET = 1 << 25  # ~32M px/chunk: 16 frames @1080p
+_FRAME_CHUNK_PIXEL_BUDGET = 1 << 24  # ~16M px/chunk: 8 frames @1080p
 
 
 class _DataParallel:
@@ -137,16 +137,21 @@ class _DataParallel:
         return max(2, _FRAME_CHUNK_PIXEL_BUDGET // (h * w))
 
     def apply(self, fn, *arrays):
-        arrays = [jnp.asarray(a) for a in arrays]
         if self.mesh is None:
-            n = arrays[0].shape[0]
+            n = int(arrays[0].shape[0])
             chunk = self._chunk_frames(arrays[0].shape)
             if n <= chunk:
-                return fn(*arrays)
+                return fn(*[jnp.asarray(a) for a in arrays])
+            # Chunked long-clip path: inputs may stay HOST arrays (only
+            # one chunk is resident on device at a time) and each chunk
+            # runs under jit — XLA buffer reuse bounds peak memory where
+            # the same op run eagerly keeps every clip-sized temporary
+            # live (measured OOM at 128 frames @1080p).
+            jfn = jax.jit(fn)
             outs = []
             for s in range(0, n, chunk):
                 e = min(s + chunk, n)
-                part = [a[s:e] for a in arrays]
+                part = [jnp.asarray(a[s:e]) for a in arrays]
                 if e - s < chunk:
                     # pad the tail to the steady chunk shape: one compile
                     pad = chunk - (e - s)
@@ -154,8 +159,9 @@ class _DataParallel:
                         jnp.concatenate([p, jnp.repeat(p[-1:], pad, axis=0)])
                         for p in part
                     ]
-                outs.append(np.asarray(fn(*part)[: e - s]))
+                outs.append(np.asarray(jfn(*part)[: e - s]))
             return np.concatenate(outs, axis=0)
+        arrays = [jnp.asarray(a) for a in arrays]
         from elvis_tpu.parallel.mesh import shard_frames
 
         n = arrays[0].shape[0]
@@ -163,19 +169,20 @@ class _DataParallel:
         return fn(*padded)[:n]
 
     def apply_temporal(self, fn, arrays, overlap: int):
-        arrays = [jnp.asarray(a) for a in arrays]
         if self.mesh is None:
-            n = arrays[0].shape[0]
+            n = int(arrays[0].shape[0])
             chunk = self._chunk_frames(arrays[0].shape)
             if n <= chunk:
-                return fn(*arrays)
+                return fn(*[jnp.asarray(a) for a in arrays])
+            jfn = jax.jit(fn)  # <=3 window shapes (first/steady/last)
             outs = []
             for s in range(0, n, chunk):
                 e = min(s + chunk, n)
                 lo, hi = max(0, s - overlap), min(n, e + overlap)
-                out = fn(*[a[lo:hi] for a in arrays])
+                out = jfn(*[jnp.asarray(a[lo:hi]) for a in arrays])
                 outs.append(np.asarray(out[s - lo : s - lo + (e - s)]))
             return np.concatenate(outs, axis=0)
+        arrays = [jnp.asarray(a) for a in arrays]
         n = arrays[0].shape[0]
         size = self.mesh.shape["data"]
         if (n + ((-n) % size)) // size < overlap:
@@ -210,6 +217,37 @@ class _DataParallel:
             fn, f_pad, l_pad, mesh, halo, block_size, data_axis="data"
         )
         return out[:n]
+
+
+def _apply_inpaint_backend(dp, name, fn, stretched, removal_mask, b):
+    """Stage-8 driver for one inpaint backend (elvis.py:4601-4661).
+
+    'diffusion' is per-frame: plain frame sharding. Windowed temporal
+    backends shard with halo context — the backend declares its own
+    overlap (2x the propagation window, so sharded == unsharded exactly;
+    the reference's *_chunk_overlap knobs override it). A backend with a
+    ``split`` attribute runs two-phase: the propagation SEED and the
+    polish net each go through the temporal machinery at their OWN
+    declared overlap (e.g. 20 vs 2) — keeping the net's full-res feature
+    maps off chunk+2*seed_overlap frames at once (measured over-HBM at
+    1080p x 128 frames). seed+post is exactly equal to the fused backend.
+    """
+    if name == "diffusion":
+        return dp.apply(lambda f, m: fn(f, m, b), stretched, removal_mask)
+    if hasattr(fn, "split"):
+        seed_fn = fn.split
+        seeded = dp.apply_temporal(
+            lambda f, m: seed_fn(f, m, b), (stretched, removal_mask),
+            overlap=getattr(seed_fn, "temporal_overlap", 16),
+        )
+        return dp.apply_temporal(
+            lambda f, m: seed_fn.post(f, m, b), (seeded, removal_mask),
+            overlap=getattr(seed_fn.post, "temporal_overlap", 2),
+        )
+    return dp.apply_temporal(
+        lambda f, m: fn(f, m, b), (stretched, removal_mask),
+        overlap=getattr(fn, "temporal_overlap", 16),
+    )
 
 
 def run_elvis(config: ElvisConfig) -> Dict:
@@ -519,7 +557,9 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
 
     # --- stage 7: client stretch (elvis.py:4542-4580) ------------------------
     t0 = time.time()
-    stretched = stretch_frames(jnp.asarray(shrunk_decoded), removal_mask, b)
+    stretched = dp.apply(
+        lambda f, m: stretch_frames(f, m, b), shrunk_decoded, removal_mask
+    )
     execution_times["ELVIS Stretching"] = time.time() - t0
 
     # --- stages 8-10: restoration via the config-driven backend registry ----
@@ -544,19 +584,7 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         backend_provenance[label] = prov
         row_branch[label] = "shrunk"
         t0 = time.time()
-        if name == "diffusion":  # per-frame op: plain frame sharding
-            out = dp.apply(lambda f, m: fn(f, m, b), stretched, removal_mask)
-        else:
-            # Windowed temporal op: shard with halo context. The backend
-            # declares its own overlap (2x the propagation window — the
-            # fill needs `window` frames of context and the motion
-            # estimate another `window` on top, so 2w gives exact
-            # sharded == unsharded equivalence; the reference's
-            # *_chunk_overlap knobs override it).
-            out = dp.apply_temporal(
-                lambda f, m: fn(f, m, b), (stretched, removal_mask),
-                overlap=getattr(fn, "temporal_overlap", 16),
-            )
+        out = _apply_inpaint_backend(dp, name, fn, stretched, removal_mask, b)
         decoded[label] = np.asarray(out)
         dt = time.time() - t0
         execution_times[timer] = dt

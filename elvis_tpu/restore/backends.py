@@ -330,5 +330,29 @@ def resolve_inpaint_backend(name: str, config) -> Tuple[BackendFn, str]:
             return net.apply(params, seeded, m, b)
 
         neural.temporal_overlap = ov
+        # Two-phase split for the long-clip chunked driver: the
+        # propagation SEED needs the full window of temporal context (ov,
+        # default 2*w=20) but the polish net only its +-temporal_window=2
+        # neighbour stack. Running the net inside the seed's wide
+        # temporal graph puts its full-res feature maps on
+        # chunk+2*ov frames at once (21 GB at 1080p — over HBM);
+        # run_elvis applies `seed` and `post` through the temporal
+        # halo/chunk machinery at their OWN overlaps (20 vs 2).
+        # seed+post == neural exactly: the net's edge-clamped neighbour
+        # shifts only affect the outermost `temporal_window` frames of a
+        # window, which the overlap trims (global clip edges clamp
+        # identically in both paths).
+        def seed(f, m, b):
+            return jnp.asarray(
+                restore_removal_temporal(f, m, b, window=w)
+            ).astype(jnp.float32)
+
+        def post(f, m, b):
+            return net.apply(params, f, m, b)
+
+        seed.temporal_overlap = ov
+        post.temporal_overlap = int(net.temporal_window)
+        seed.post = post
+        neural.split = seed
         return neural, f"inpaint_net:{path}[window={w},overlap={ov}]"
     raise ValueError(f"unknown inpaint backend {name!r}")

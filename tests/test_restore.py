@@ -354,3 +354,54 @@ class TestSrTierSelection:
             "realesrgan", self._cfg(auto_load_checkpoints=False)
         )
         assert "lanczos" in prov
+
+
+class TestInpaintSplitBackend:
+    """The neural inpaint backend's two-phase split (seed through the
+    temporal halo machinery, per-frame polish through plain chunking)
+    must equal the fused backend exactly — the split exists only to
+    bound peak HBM on long 1080p clips (docs/DESIGN.md round 3)."""
+
+    def _cfg(self, **kw):
+        from elvis_tpu.pipeline.config import ElvisConfig
+
+        return ElvisConfig(**kw)
+
+    def _backend(self):
+        import os
+
+        import pytest
+
+        from elvis_tpu.restore.backends import resolve_inpaint_backend
+
+        if not os.path.exists("checkpoints/inpaint"):
+            pytest.skip("shipped inpaint checkpoint not present")
+        return resolve_inpaint_backend("neural", self._cfg())
+
+    def test_seed_plus_post_equals_fused(self, tiny_video, rng):
+        fn, _ = self._backend()
+        assert hasattr(fn, "split")
+        mask = jnp.asarray((rng.random((5, 6, 8)) < 0.2).astype(np.int8))
+        frames = jnp.asarray(tiny_video.astype(np.float32))
+        fused = np.asarray(fn(frames, mask, 8))
+        seeded = fn.split(frames, mask, 8)
+        split = np.asarray(fn.split.post(seeded, mask, 8))
+        np.testing.assert_array_equal(fused, split)
+
+    def test_split_through_chunked_driver(self, tiny_video, rng, monkeypatch):
+        """_apply_inpaint_backend routes split backends through the
+        bounded-memory chunked driver; chunked == fused full-clip."""
+        from elvis_tpu.pipeline import run as run_mod
+        from elvis_tpu.pipeline.run import _DataParallel, _apply_inpaint_backend
+
+        fn, _ = self._backend()
+        n, h, w = 8, 16, 16
+        clip = np.repeat(tiny_video[:1, :h, :w], n, axis=0).astype(np.float32)
+        mask = (rng.random((n, h // 8, w // 8)) < 0.3).astype(np.int8)
+        fused = np.asarray(fn(jnp.asarray(clip), jnp.asarray(mask), 8))
+        monkeypatch.setattr(run_mod, "_FRAME_CHUNK_PIXEL_BUDGET", 3 * h * w)
+        dp = _DataParallel(None, None)
+        out = _apply_inpaint_backend(dp, "neural", fn, clip, mask, 8)
+        # atol: the chunked driver jits its calls; XLA fuses the bf16
+        # convs differently than the eager fused path (max ~0.005/255)
+        np.testing.assert_allclose(np.asarray(out), fused, atol=0.02)
