@@ -136,6 +136,10 @@ class ElvisConfig:
     masks_dir: Optional[str] = None  # external FG masks (DAVIS-style PNG dir)
     profile_dir: Optional[str] = None  # jax.profiler trace output
     data_parallel: bool = True  # shard frame axis across devices when possible
+    # Stage-banner narration (the reference's _safe_print logging,
+    # elvis.py:885-887, 397-411): each stage prints its wall-clock as it
+    # completes — the long-run progress surface.
+    verbose: bool = True
     # 2D data x spatial sharding (the reference's feathered spatial tiling,
     # utils.py:176-326, as a mesh axis): frames taller than the threshold
     # route full-frame restorers through height tiles with halo exchange.

@@ -219,6 +219,25 @@ class _DataParallel:
         return out[:n]
 
 
+class _StageTimes(dict):
+    """execution_times dict that narrates each stage as it lands — the
+    reference's banner logging (elvis.py:885-887) surfaced through the
+    one place every stage already reports to. Prints survive closed
+    stdout (elvis.py:397-411 `_safe_print` semantics)."""
+
+    def __init__(self, verbose: bool):
+        super().__init__()
+        self._verbose = verbose
+
+    def __setitem__(self, key, value):
+        super().__setitem__(key, value)
+        if self._verbose:
+            try:
+                print(f"[elvis_tpu] {key}: {value:.1f}s", flush=True)
+            except (ValueError, OSError):
+                pass
+
+
 def _apply_inpaint_backend(dp, name, fn, stretched, removal_mask, b):
     """Stage-8 driver for one inpaint backend (elvis.py:4601-4661).
 
@@ -281,7 +300,7 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
     maps_dir = os.path.join(experiment_dir, "maps")
     os.makedirs(maps_dir, exist_ok=True)
 
-    execution_times: Dict[str, float] = {}
+    execution_times: Dict[str, float] = _StageTimes(config.verbose)
     approach_times = defaultdict(float)
     cache = StageCache(os.path.join(experiment_dir, "stage_cache"), config.stage_cache)
 
