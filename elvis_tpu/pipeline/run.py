@@ -95,6 +95,74 @@ class APPROACHES:
 
 
 _FRAME_CHUNK_PIXEL_BUDGET = 1 << 24  # ~16M px/chunk: 8 frames @1080p
+# Max frames*rows*cols per full-res NET invocation before height tiling
+# kicks in. Sized from the measured InpaintNet HBM footprint at 1080p
+# (~1.14 KB/px padded: 10f x 1080p = 23.7 GB > the 15.75 GB chip): 6M px
+# keeps the padded working set near 7 GB. Backends override it via a
+# `spatial_pixel_budget` attribute when their per-pixel cost differs.
+_NET_PIXEL_BUDGET = 6 << 20
+
+
+def _height_tile_plan(fn, shape, n_frames: int):
+    """Return (halo_rows, window_rows) when `fn` asks for height tiling
+    and the per-invocation pixel count would bust its budget, else None.
+
+    A backend opts in by setting `spatial_halo_rows` — a bound on its
+    spatial receptive-field radius in pixels — on the callable (the
+    single-chip analog of the reference's feathered spatial tiles,
+    utils.py:176-326)."""
+    halo = int(getattr(fn, "spatial_halo_rows", 0) or 0)
+    if not halo:
+        return None
+    budget = int(getattr(fn, "spatial_pixel_budget", _NET_PIXEL_BUDGET))
+    h, w = int(shape[1]), int(shape[2])
+    win_rows = budget // max(n_frames * w, 1)
+    if h <= win_rows:
+        return None
+    return halo, win_rows
+
+
+def _apply_height_tiled(fn, arrays, halo: int, win_rows: int) -> np.ndarray:
+    """Run a same-resolution per-frame/windowed net over height tiles.
+
+    Host loop OUTSIDE jit (each uniform window shape compiles once):
+    windows of `tile + 2*halo` rows are clamped inward at the frame
+    borders, so the true image edge keeps its real SAME-padding
+    behaviour, and every kept interior row sits further than `halo`
+    (the declared receptive-field bound) from any artificial tile
+    boundary — tiled output equals the untiled net up to float
+    reassociation. Per-array row granularity is inferred from the
+    height ratio (frames tile by pixel rows, block maps by block rows)."""
+    f = arrays[0]
+    n, h = int(f.shape[0]), int(f.shape[1])
+    ratios = []
+    for a in arrays:
+        r = h // int(a.shape[1])
+        if r * int(a.shape[1]) != h:
+            raise ValueError("height-tiled arrays must divide the frame height")
+        ratios.append(r)
+    align = max(ratios)  # the coarsest map's block size, in rows
+    halo = -(-halo // align) * align
+    tile = max(((win_rows - 2 * halo) // align) * align, align)
+    win = tile + 2 * halo
+    if win >= h:
+        return np.asarray(jax.jit(fn)(*[jnp.asarray(a) for a in arrays]))
+    jfn = jax.jit(fn)
+    out = None
+    for r0 in range(0, h, tile):
+        r1 = min(r0 + tile, h)
+        start = min(max(r0 - halo, 0), h - win)
+        parts = [
+            jnp.asarray(a[:, start // r : (start + win) // r])
+            for a, r in zip(arrays, ratios)
+        ]
+        o = np.asarray(jfn(*parts))
+        if o.shape[1] != win:
+            raise ValueError("height-tiled ops must preserve frame height")
+        if out is None:
+            out = np.empty((n, h) + o.shape[2:], o.dtype)
+        out[:, r0:r1] = o[:, r0 - start : r0 - start + (r1 - r0)]
+    return out
 
 
 class _DataParallel:
@@ -140,26 +208,40 @@ class _DataParallel:
         if self.mesh is None:
             n = int(arrays[0].shape[0])
             chunk = self._chunk_frames(arrays[0].shape)
+            if getattr(fn, "spatial_halo_rows", 0):
+                # Per-frame nets: shrinking the frame chunk has no halo
+                # redundancy, so spend the pixel budget there first and
+                # only row-tile when even a single frame busts it (4K).
+                budget = int(getattr(fn, "spatial_pixel_budget", _NET_PIXEL_BUDGET))
+                hw = int(arrays[0].shape[1]) * int(arrays[0].shape[2])
+                chunk = min(chunk, max(1, budget // hw))
+            tiled = _height_tile_plan(fn, arrays[0].shape, min(n, chunk))
             if n <= chunk:
+                if tiled:
+                    return _apply_height_tiled(fn, list(arrays), *tiled)
                 return fn(*[jnp.asarray(a) for a in arrays])
             # Chunked long-clip path: inputs may stay HOST arrays (only
             # one chunk is resident on device at a time) and each chunk
             # runs under jit — XLA buffer reuse bounds peak memory where
             # the same op run eagerly keeps every clip-sized temporary
             # live (measured OOM at 128 frames @1080p).
-            jfn = jax.jit(fn)
+            jfn = None if tiled else jax.jit(fn)
             outs = []
             for s in range(0, n, chunk):
                 e = min(s + chunk, n)
-                part = [jnp.asarray(a[s:e]) for a in arrays]
+                part = [np.asarray(a[s:e]) for a in arrays]
                 if e - s < chunk:
                     # pad the tail to the steady chunk shape: one compile
                     pad = chunk - (e - s)
                     part = [
-                        jnp.concatenate([p, jnp.repeat(p[-1:], pad, axis=0)])
+                        np.concatenate([p, np.repeat(p[-1:], pad, axis=0)])
                         for p in part
                     ]
-                outs.append(np.asarray(jfn(*part)[: e - s]))
+                if tiled:
+                    out = _apply_height_tiled(fn, part, *tiled)[: e - s]
+                else:
+                    out = np.asarray(jfn(*[jnp.asarray(p) for p in part])[: e - s])
+                outs.append(out)
             return np.concatenate(outs, axis=0)
         arrays = [jnp.asarray(a) for a in arrays]
         from elvis_tpu.parallel.mesh import shard_frames
@@ -172,14 +254,21 @@ class _DataParallel:
         if self.mesh is None:
             n = int(arrays[0].shape[0])
             chunk = self._chunk_frames(arrays[0].shape)
+            win_frames = min(n, chunk + 2 * overlap)
+            tiled = _height_tile_plan(fn, arrays[0].shape, win_frames)
             if n <= chunk:
+                if tiled:
+                    return _apply_height_tiled(fn, list(arrays), *tiled)
                 return fn(*[jnp.asarray(a) for a in arrays])
-            jfn = jax.jit(fn)  # <=3 window shapes (first/steady/last)
+            jfn = None if tiled else jax.jit(fn)  # <=3 window shapes (first/steady/last)
             outs = []
             for s in range(0, n, chunk):
                 e = min(s + chunk, n)
                 lo, hi = max(0, s - overlap), min(n, e + overlap)
-                out = jfn(*[jnp.asarray(a[lo:hi]) for a in arrays])
+                if tiled:
+                    out = _apply_height_tiled(fn, [a[lo:hi] for a in arrays], *tiled)
+                else:
+                    out = jfn(*[jnp.asarray(a[lo:hi]) for a in arrays])
                 outs.append(np.asarray(out[s - lo : s - lo + (e - s)]))
             return np.concatenate(outs, axis=0)
         arrays = [jnp.asarray(a) for a in arrays]
@@ -238,6 +327,16 @@ class _StageTimes(dict):
                 pass
 
 
+def _carry_tiling(dst, src):
+    """Copy height-tiling declarations from a backend onto its arg-binding
+    wrapper so _height_tile_plan still sees them."""
+    for k in ("spatial_halo_rows", "spatial_pixel_budget"):
+        v = getattr(src, k, None)
+        if v:
+            setattr(dst, k, v)
+    return dst
+
+
 def _apply_inpaint_backend(dp, name, fn, stretched, removal_mask, b):
     """Stage-8 driver for one inpaint backend (elvis.py:4601-4661).
 
@@ -260,7 +359,8 @@ def _apply_inpaint_backend(dp, name, fn, stretched, removal_mask, b):
             overlap=getattr(seed_fn, "temporal_overlap", 16),
         )
         return dp.apply_temporal(
-            lambda f, m: seed_fn.post(f, m, b), (seeded, removal_mask),
+            _carry_tiling(lambda f, m: seed_fn.post(f, m, b), seed_fn.post),
+            (seeded, removal_mask),
             overlap=getattr(seed_fn.post, "temporal_overlap", 2),
         )
     return dp.apply_temporal(
@@ -339,7 +439,9 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
                 lambda f, l: fn(f, l, b), frames_in, maps_in,
                 halo=config.spatial_halo, block_size=b,
             )
-        return dp.apply(lambda f, m: fn(f, m, b), frames_in, maps_in)
+        return dp.apply(
+            _carry_tiling(lambda f, m: fn(f, m, b), fn), frames_in, maps_in
+        )
 
     # Codec dispatch (elvis_tpu.codec.dispatch): the built-in NVC codec or
     # the external x265/kvazaar/SVT-AV1 wrappers, one interface.

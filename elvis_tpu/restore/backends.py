@@ -221,6 +221,12 @@ def resolve_deblur_backend(name: str, config) -> Tuple[BackendFn, str]:
         def deblur(f, m, b):
             return net.apply(params, f.astype(jnp.float32), m, b)
 
+        # Three stride-2 UNet levels compound to a ~51-row receptive
+        # field; 64 is the block-aligned bound for height tiling. The
+        # deeper pyramid carries more live activations per pixel than
+        # InpaintNet, so halve the per-invocation pixel budget.
+        deblur.spatial_halo_rows = 64
+        deblur.spatial_pixel_budget = 3 << 20
         return deblur, f"deblur_net:{path}"
     if name == "diffusion":
         # The InstantIR slot's diffusion path, with SHIPPED weights
@@ -352,6 +358,12 @@ def resolve_inpaint_backend(name: str, config) -> Tuple[BackendFn, str]:
 
         seed.temporal_overlap = ov
         post.temporal_overlap = int(net.temporal_window)
+        # Receptive-field bound for single-chip height tiling (pipeline
+        # _apply_height_tiled): enc/dec 3x3 stack + one stride-2 level
+        # reaches ~12 rows; 16 is the block-aligned bound. Without tiling
+        # the polish net's full-res feature maps measure ~1.14 KB/px
+        # padded — 23.7 GB for a 10-frame 1080p window, over HBM.
+        post.spatial_halo_rows = 16
         seed.post = post
         neural.split = seed
         return neural, f"inpaint_net:{path}[window={w},overlap={ov}]"
