@@ -17,10 +17,12 @@ PNG staging all disappear.
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Dict, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from elvis_tpu.metrics.fvmd import fvmd_incremental
@@ -30,11 +32,46 @@ from elvis_tpu.metrics.vmaf import compute_vmaf, vmaf_available
 
 __all__ = ["evaluate_approach", "analyze_encoding_performance"]
 
+# Frames per metric chunk are sized so the SSIM/LPIPS working set stays
+# small: ~8M px/chunk = 4 frames @1080p. Long clips previously evaluated
+# as ONE eager full-clip computation — at 128 frames @1080p that put
+# 6.4 GB of ref+dec alone on device and OOMed in the eager SSIM chain;
+# per-frame metrics are frame-independent, so chunking is exact.
+_EVAL_CHUNK_PIXELS = 1 << 23
+
 
 def _stats(vals: np.ndarray) -> Dict[str, float]:
     vals = np.asarray(vals, dtype=np.float64)
     return {"mean": float(vals.mean()) if vals.size else 0.0,
             "std": float(vals.std()) if vals.size else 0.0}
+
+
+@functools.partial(jax.jit, static_argnames=("bbox", "bg_bbox"))
+def _chunk_metrics(ref_c, dec_c, fg_c, bbox, bg_bbox):
+    """All eight per-frame metric vectors for one frame chunk, one jitted
+    graph (compiled once per clip shape — bboxes are static and shared
+    across approaches). FG: ROI crop (static bbox) + mask; BG: full frame
+    + inverted mask; LPIPS on outside-region-zeroed frames
+    (elvis.py:3853-3860)."""
+    x, y, w, h = bbox
+    ref_c = ref_c.astype(jnp.float32)
+    dec_c = dec_c.astype(jnp.float32)
+    bg_c = ~fg_c
+    ref_roi = ref_c[:, y : y + h, x : x + w]
+    dec_roi = dec_c[:, y : y + h, x : x + w]
+    fg_roi = fg_c[:, y : y + h, x : x + w]
+    fgf = fg_roi[..., None].astype(jnp.float32)
+    fg_pix = fg_c[..., None].astype(jnp.float32)
+    return (
+        masked_psnr(ref_roi, dec_roi, fg_roi),
+        masked_mse(ref_roi, dec_roi, fg_roi),
+        masked_ssim(ref_c, dec_c, fg_c, bbox=bbox),
+        masked_psnr(ref_c, dec_c, bg_c),
+        masked_mse(ref_c, dec_c, bg_c),
+        masked_ssim(ref_c, dec_c, bg_c, bbox=bg_bbox),
+        lpips_distance(ref_roi * fgf, dec_roi * fgf),
+        lpips_distance(ref_c * (1 - fg_pix), dec_c * (1 - fg_pix)),
+    )
 
 
 def evaluate_approach(
@@ -53,40 +90,46 @@ def evaluate_approach(
     vmaf_stride: int = 1,
     framerate: float = 30.0,
 ) -> Dict:
-    """One approach -> the reference's per-video result dict."""
+    """One approach -> the reference's per-video result dict.
+
+    Frames stay HOST arrays; the device sees one jitted chunk at a time
+    (both the pixel/LPIPS metrics here and the FVMD motion features),
+    so evaluation memory is bounded regardless of clip length."""
     n = min(reference_frames.shape[0], decoded_frames.shape[0])
-    ref = jnp.asarray(reference_frames[:n]).astype(jnp.float32)
-    dec = jnp.asarray(decoded_frames[:n]).astype(jnp.float32)
+    ref_np = np.asarray(reference_frames[:n])
+    dec_np = np.asarray(decoded_frames[:n])
     fg = np.asarray(fg_masks[:n]).astype(bool)
-    bg = ~fg
 
     idx = np.arange(0, n, metric_stride)
     bbox = mask_union_bbox(fg)
-    x, y, w, h = bbox
+    # the BG bbox matches the old inline computation: union of the
+    # STRIDED inverted masks (masked_ssim's internal default)
+    bg_bbox = mask_union_bbox(~fg[idx])
 
-    ref_s, dec_s = ref[idx], dec[idx]
-    fg_s, bg_s = jnp.asarray(fg[idx]), jnp.asarray(bg[idx])
+    from elvis_tpu.metrics.perceptual import ensure_loaded
 
-    # FG: ROI crop (static bbox) + mask; BG: full frame + inverted mask.
-    ref_roi = ref_s[:, y : y + h, x : x + w]
-    dec_roi = dec_s[:, y : y + h, x : x + w]
-    fg_roi = fg_s[:, y : y + h, x : x + w]
+    ensure_loaded()  # lpips checkpoint restore cannot happen inside jit
 
-    fg_psnr = np.asarray(masked_psnr(ref_roi, dec_roi, fg_roi))
-    fg_mse = np.asarray(masked_mse(ref_roi, dec_roi, fg_roi))
-    fg_ssim = np.asarray(masked_ssim(ref_s, dec_s, fg_s, bbox=bbox))
-    bg_psnr = np.asarray(masked_psnr(ref_s, dec_s, bg_s))
-    bg_mse = np.asarray(masked_mse(ref_s, dec_s, bg_s))
-    bg_ssim = np.asarray(masked_ssim(ref_s, dec_s, bg_s))
-
-    # LPIPS on masked frames (outside-region zeroed), like elvis.py:3853-3860
-    fg_pix = fg_s[..., None].astype(jnp.float32)
-    fg_lpips = np.asarray(
-        lpips_distance(ref_roi * fg_roi[..., None], dec_roi * fg_roi[..., None])
-    )
-    bg_lpips = np.asarray(
-        lpips_distance(ref_s * (1 - fg_pix), dec_s * (1 - fg_pix))
-    )
+    frame_px = int(ref_np.shape[1]) * int(ref_np.shape[2])
+    chunk = max(1, _EVAL_CHUNK_PIXELS // frame_px)
+    cols = tuple([] for _ in range(8))
+    for s in range(0, len(idx), chunk):
+        sel = idx[s : s + chunk]
+        k = len(sel)
+        if k < chunk and len(idx) > chunk:
+            # pad the tail to the steady chunk shape: one compile
+            sel = np.concatenate([sel, np.repeat(sel[-1:], chunk - k)])
+        outs = _chunk_metrics(
+            jnp.asarray(ref_np[sel]),
+            jnp.asarray(dec_np[sel]),
+            jnp.asarray(fg[sel]),
+            bbox,
+            bg_bbox,
+        )
+        for c, o in zip(cols, outs):
+            c.append(np.asarray(o)[:k])
+    (fg_psnr, fg_mse, fg_ssim, bg_psnr, bg_mse, bg_ssim,
+     fg_lpips, bg_lpips) = (np.concatenate(c) for c in cols)
 
     result = {
         "foreground": {
@@ -109,20 +152,19 @@ def evaluate_approach(
     if enable_fvmd and n >= 4:
         # Incremental early-stop + sliding-window std, the reference's
         # elvis.py:3535-3583 machinery; fvmd_std is the stability measure.
+        # Masking happens inside the chunked feature extractor — no
+        # clip-sized masked copies on device or host.
         fvmd_kw = dict(
             stride=fvmd_stride,
             early_stop_delta=fvmd_early_stop_delta,
             window=fvmd_early_stop_window,
             max_frames=fvmd_max_frames,
         )
-        masked_ref_fg = np.asarray(ref * fg_pix_full(fg))
-        masked_dec_fg = np.asarray(dec * fg_pix_full(fg))
-        fg_v, fg_std = fvmd_incremental(masked_ref_fg, masked_dec_fg, **fvmd_kw)
+        fgf = fg.astype(np.float32)
+        fg_v, fg_std = fvmd_incremental(ref_np, dec_np, mask=fgf, **fvmd_kw)
         result["foreground"]["fvmd"] = fg_v
         result["foreground"]["fvmd_std"] = fg_std
-        masked_ref_bg = np.asarray(ref * (1 - fg_pix_full(fg)))
-        masked_dec_bg = np.asarray(dec * (1 - fg_pix_full(fg)))
-        bg_v, bg_std = fvmd_incremental(masked_ref_bg, masked_dec_bg, **fvmd_kw)
+        bg_v, bg_std = fvmd_incremental(ref_np, dec_np, mask=1.0 - fgf, **fvmd_kw)
         result["background"]["fvmd"] = bg_v
         result["background"]["fvmd_std"] = bg_std
 
@@ -131,8 +173,9 @@ def evaluate_approach(
         # the mask-zeroed bbox crop, background on the FG-zeroed frames —
         # plus the full-frame score. vmaf_stride subsamples frames.
         vs = np.arange(0, n, vmaf_stride)
-        fgm = np.asarray(fg)[vs][..., None].astype(np.float32)
-        ref_v, dec_v = np.asarray(ref)[vs], np.asarray(dec)[vs]
+        fgm = fg[vs][..., None].astype(np.float32)
+        ref_v = ref_np[vs].astype(np.float32)
+        dec_v = dec_np[vs].astype(np.float32)
         fg_crop_r = (ref_v[:, y : y + h, x : x + w]
                      * fgm[:, y : y + h, x : x + w])
         fg_crop_d = (dec_v[:, y : y + h, x : x + w]
@@ -143,10 +186,6 @@ def evaluate_approach(
         )["mean"]
         result["vmaf"] = compute_vmaf(ref_v, dec_v, framerate)
     return result
-
-
-def fg_pix_full(fg: np.ndarray) -> jnp.ndarray:
-    return jnp.asarray(fg.astype(np.float32))[..., None]
 
 
 def analyze_encoding_performance(

@@ -16,7 +16,10 @@ sequences (the standard FID/FVMD formula).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from elvis_tpu.ops.color import rgb_to_gray
@@ -29,8 +32,16 @@ def motion_features(
     frames: jnp.ndarray, block_size: int = 16, radius: int = 4, bins: int = 8
 ) -> jnp.ndarray:
     """``(N,H,W,C)`` -> per-frame motion feature vectors ``(N-2, 4*bins)``:
-    velocity magnitude/angle histograms + acceleration magnitude/angle."""
+    velocity magnitude/angle histograms + acceleration magnitude/angle.
+
+    Frames whose dimensions don't divide ``block_size`` are cropped to
+    the block grid (1080 % 16 != 0 — the reference's tracker is likewise
+    resolution-agnostic; boundary rows carry negligible motion mass)."""
     gray = rgb_to_gray(frames.astype(jnp.float32))
+    h = (gray.shape[1] // block_size) * block_size
+    w = (gray.shape[2] // block_size) * block_size
+    if (h, w) != gray.shape[1:3]:
+        gray = gray[:, :h, :w]
     vel = block_motion(gray[:-1], gray[1:], block_size, radius)  # (N-1,By,Bx,2)
     vel = vel.astype(jnp.float32)
     acc = vel[1:] - vel[:-1]  # (N-2,By,Bx,2)
@@ -103,6 +114,52 @@ class _RunningGaussian:
         return mu, cov + 1e-8 * np.eye(self.s1.size)
 
 
+# Frames per motion-feature chunk: feature j needs frames j..j+2, so
+# chunks overlap by 2 and concatenated features equal the one-shot
+# extraction exactly. Bounds device memory on long clips (the one-shot
+# path put the whole strided clip on device at once).
+_FVMD_CHUNK_FRAMES = 16
+
+
+def _features_chunked(
+    frames: np.ndarray,
+    mask: np.ndarray | None,
+    block_size: int,
+    radius: int,
+) -> np.ndarray:
+    """Motion features over host frames, extracted in jitted overlapping
+    chunks; optional (N,H,W) float mask is applied per chunk (region
+    masking without a clip-sized masked copy)."""
+    n = int(frames.shape[0])
+    chunk = _FVMD_CHUNK_FRAMES
+
+    def _prep(part, msel):
+        part = np.asarray(part, np.float32)
+        if msel is not None:
+            part = part * msel[..., None]
+        return jnp.asarray(part)
+
+    if n <= chunk:
+        m = None if mask is None else np.asarray(mask[:n], np.float32)
+        return np.asarray(motion_features(_prep(frames, m), block_size, radius))
+    jfn = jax.jit(
+        functools.partial(motion_features, block_size=block_size, radius=radius)
+    )
+    feats = []
+    j0 = 0  # next global feature index to emit (feature j <- frames j..j+2)
+    s = 0
+    while j0 < n - 2:
+        e = min(s + chunk, n)
+        if e - s < chunk:
+            s, e = n - chunk, n  # slide the tail window inward: one compile
+        msel = None if mask is None else np.asarray(mask[s:e], np.float32)
+        f = np.asarray(jfn(_prep(frames[s:e], msel)))  # features s..e-3
+        feats.append(f[j0 - s :])
+        j0 = e - 2
+        s = e - 2
+    return np.concatenate(feats)[: n - 2]
+
+
 def fvmd(
     ref_frames: jnp.ndarray,
     dec_frames: jnp.ndarray,
@@ -117,8 +174,8 @@ def fvmd(
         return float("nan")
     r = ref_frames[::stride] if stride > 1 else ref_frames
     d = dec_frames[::stride] if stride > 1 else dec_frames
-    fa = np.asarray(motion_features(jnp.asarray(r), block_size, radius))
-    fb = np.asarray(motion_features(jnp.asarray(d), block_size, radius))
+    fa = _features_chunked(np.asarray(r), None, block_size, radius)
+    fb = _features_chunked(np.asarray(d), None, block_size, radius)
     return frechet_distance(fa, fb)
 
 
@@ -132,6 +189,7 @@ def fvmd_incremental(
     early_stop_delta: float = 0.002,
     window: int = 50,
     max_frames: int | None = None,
+    mask: np.ndarray | None = None,
 ) -> tuple:
     """FVMD with the reference's incremental early-stop machinery
     (elvis.py:3535-3583): the estimate is recomputed over growing frame
@@ -140,21 +198,24 @@ def fvmd_incremental(
     ``(fvmd, fvmd_std)`` where the std is over the sliding window — the
     stability measure the reference reports alongside the value.
 
-    Motion features for the full clip are extracted once on device; the
-    incremental part re-fits only the (tiny) Gaussian statistics per
-    prefix, so early-stop here saves host math, not tracking — kept for
-    schema/semantics parity and for the stability std.
+    Motion features are extracted in overlapping jitted chunks (bounded
+    device memory at any clip length; optional region ``mask`` applied
+    per chunk); the incremental part re-fits only the (tiny) Gaussian
+    statistics per prefix, so early-stop here saves host math, not
+    tracking — kept for schema/semantics parity and for the stability std.
     """
     if ref_frames.shape[0] < 4:
         return float("nan"), float("nan")
     r = ref_frames[::stride] if stride > 1 else ref_frames
     d = dec_frames[::stride] if stride > 1 else dec_frames
+    m = mask[::stride] if (mask is not None and stride > 1) else mask
     if max_frames is not None:
         r, d = r[:max_frames], d[:max_frames]
+        m = m[:max_frames] if m is not None else None
     if r.shape[0] < 4:
         return float("nan"), float("nan")
-    fa = np.asarray(motion_features(jnp.asarray(r), block_size, radius))
-    fb = np.asarray(motion_features(jnp.asarray(d), block_size, radius))
+    fa = _features_chunked(np.asarray(r), m, block_size, radius)
+    fb = _features_chunked(np.asarray(d), m, block_size, radius)
 
     estimates = []
     n_feat = fa.shape[0]

@@ -14,7 +14,6 @@ The metric name in reports stays 'lpips' for schema compatibility
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Optional
 
 import jax
@@ -43,8 +42,17 @@ class PerceptualNet(nn.Module):
         return feats
 
 
-@functools.lru_cache(maxsize=1)
+_default_cache = None
+
+
 def _default_params_and_model():
+    """Backbone + params, built/loaded ONCE per process. Must be called
+    (at least once) outside any jit trace — the checkpoint restore places
+    concrete arrays, which cannot happen on tracers; callers embedding
+    lpips_distance inside a jitted graph call ensure_loaded() first."""
+    global _default_cache
+    if _default_cache is not None:
+        return _default_cache
     model = PerceptualNet()
     import os
 
@@ -54,9 +62,18 @@ def _default_params_and_model():
     if os.path.isdir(ckpt):
         from elvis_tpu.models.io import load_params as _load_ckpt
 
-        return model, _load_ckpt(model, ckpt, jnp.zeros((1, 64, 64, 3)))
-    params = jax.jit(model.init)(jax.random.PRNGKey(1234), jnp.zeros((1, 64, 64, 3)))
-    return model, params
+        _default_cache = (model, _load_ckpt(model, ckpt, jnp.zeros((1, 64, 64, 3))))
+    else:
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(1234), jnp.zeros((1, 64, 64, 3))
+        )
+        _default_cache = (model, params)
+    return _default_cache
+
+
+def ensure_loaded() -> None:
+    """Materialize the default backbone outside jit (see above)."""
+    _default_params_and_model()
 
 
 def lpips_pairwise(model: PerceptualNet, params, ref: jnp.ndarray, dec: jnp.ndarray):

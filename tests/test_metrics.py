@@ -183,6 +183,71 @@ class TestFvmdIncremental:
         v_nan, s_nan = fvmd_incremental(clip, clip, max_frames=2)
         assert np.isnan(v_nan) and np.isnan(s_nan)  # too few frames
 
+    def test_chunked_features_match_one_shot(self, rng, monkeypatch):
+        """Long-clip chunked extraction (2-frame overlap windows) equals
+        the full-clip features, with and without a region mask. The
+        one-shot baseline is JITTED like the chunks: on pure-noise input
+        near-tied SADs flip argmin between jit and eager compilations,
+        which is tie-breaking noise, not a chunking error."""
+        import jax
+
+        import elvis_tpu.metrics.fvmd as fvmd_mod
+        from elvis_tpu.metrics.fvmd import _features_chunked, motion_features
+
+        clip = (rng.random((23, 32, 48, 3)) * 255).astype(np.float32)
+        mask = (rng.random((23, 32, 48)) < 0.5).astype(np.float32)
+        jfeat = jax.jit(motion_features)
+        one_shot = np.asarray(jfeat(jnp.asarray(clip)))
+        monkeypatch.setattr(fvmd_mod, "_FVMD_CHUNK_FRAMES", 7)
+        np.testing.assert_allclose(
+            _features_chunked(clip, None, 16, 4), one_shot, atol=1e-5
+        )
+        one_shot_m = np.asarray(jfeat(jnp.asarray(clip * mask[..., None])))
+        np.testing.assert_allclose(
+            _features_chunked(clip, mask, 16, 4), one_shot_m, atol=1e-5
+        )
+
+    def test_mask_kwarg_equals_premasked_frames(self, rng):
+        from elvis_tpu.metrics.fvmd import fvmd_incremental
+
+        ref = (rng.random((12, 32, 48, 3)) * 255).astype(np.float32)
+        dec = np.clip(ref + rng.normal(0, 5, ref.shape), 0, 255).astype(np.float32)
+        mask = (rng.random((12, 32, 48)) < 0.5).astype(np.float32)
+        v_mask, s_mask = fvmd_incremental(ref, dec, mask=mask)
+        v_pre, s_pre = fvmd_incremental(
+            ref * mask[..., None], dec * mask[..., None]
+        )
+        assert np.isclose(v_mask, v_pre, atol=1e-6)
+        assert np.isclose(s_mask, s_pre, atol=1e-6)
+
+
+class TestEvaluateChunking:
+    def test_chunked_evaluation_is_invariant(self, rng, monkeypatch):
+        """evaluate_approach streams frame chunks through one jitted
+        kernel; the chunk size must not affect any reported number
+        (per-frame metrics are frame-independent, FVMD windows overlap)."""
+        import elvis_tpu.metrics.evaluate as ev
+
+        ref = (rng.random((10, 32, 48, 3)) * 255).astype(np.uint8)
+        dec = np.clip(
+            ref.astype(np.float32) + rng.normal(0, 6, ref.shape), 0, 255
+        ).astype(np.uint8)
+        fg = np.zeros((10, 32, 48), bool)
+        fg[:, 8:24, 12:36] = True
+        kw = dict(metric_stride=2, enable_fvmd=True, fvmd_stride=1,
+                  enable_vmaf=False)
+        one = ev.evaluate_approach(ref, dec, fg, 1e6, **kw)
+        monkeypatch.setattr(ev, "_EVAL_CHUNK_PIXELS", 2 * 32 * 48)
+        many = ev.evaluate_approach(ref, dec, fg, 1e6, **kw)
+
+        for region in ("foreground", "background"):
+            for k, v in one[region].items():
+                if np.isnan(v):
+                    assert np.isnan(many[region][k])
+                else:
+                    assert np.isclose(many[region][k], v, rtol=1e-5, atol=1e-6), (
+                        region, k, v, many[region][k])
+
 
 class TestTrainedLpips:
     def test_trained_backbone_ranks_distortion_ladders(self, rng):
