@@ -115,6 +115,30 @@ def _reach_of(mvs: np.ndarray) -> int:
     return max(1, -(-m // (2 * BLOCK)))
 
 
+def _pack_levels(lv: jnp.ndarray) -> jnp.ndarray:
+    """In-graph d2h packing: quantized levels are int16 by construction
+    (entropy.encode_coeffs' symbol domain), so two of them bitcast into
+    one float32 word — HALF the bytes over the host link, which is the
+    measured encode bottleneck (the device scan is ~free; the level pull
+    runs at single-digit MB/s on this image's tunnel and would on any
+    host link still be 2x the traffic). float32 is also the link's
+    fastest dtype here. Bit patterns (incl. NaN payloads) round-trip the
+    transfer verbatim (verified on hardware)."""
+    i = lv.astype(jnp.int16)
+    u = jax.lax.bitcast_convert_type(i, jnp.uint16).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(u[..., 0::2] | (u[..., 1::2] << 16),
+                                        jnp.float32)
+
+
+def _unpack_levels(packed: np.ndarray) -> np.ndarray:
+    """Host inverse of :func:`_pack_levels`: f32 (..., K) -> int16 (..., 2K)."""
+    u = np.ascontiguousarray(packed).view(np.uint32)
+    out = np.empty(packed.shape[:-1] + (packed.shape[-1] * 2,), np.int16)
+    out[..., 0::2] = (u & 0xFFFF).astype(np.uint16).view(np.int16)
+    out[..., 1::2] = (u >> 16).astype(np.uint16).view(np.int16)
+    return out
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _encode_planes_jit(rgb, qp_y, qp_c, gop, me_radius, me_step, me_halfpel,
                        b_frames=False, b_qp_offset=2, multi_ref=False):
@@ -131,7 +155,8 @@ def _encode_planes_jit(rgb, qp_y, qp_c, gop, me_radius, me_step, me_halfpel,
     # chroma at half resolution: half the search radius
     lcb, mcb, vcb, _ = enc(cb, qp_c, **dict(kw, me_radius=max(me_radius // 2, 0)))
     lcr, mcr, vcr, _ = enc(cr, qp_c, **dict(kw, me_radius=max(me_radius // 2, 0)))
-    return ly, my, vy, lcb, mcb, vcb, lcr, mcr, vcr
+    return (_pack_levels(ly), my, vy, _pack_levels(lcb), mcb, vcb,
+            _pack_levels(lcr), mcr, vcr)
 
 
 # ---- bounded-memory chunked encode/decode -------------------------------
@@ -175,7 +200,8 @@ def _encode_planes_chunk_jit(rgb, qp_y, qp_c, fi, init_y, init_cb, init_cr,
     # (2,H,W) carry: [prev, prev2] for the next segment (on a 1-frame
     # tail segment prev2:=prev; the carry is unused after the last one)
     p2 = max(ry.shape[0] - 2, 0)
-    return (ly, my, vy, lcb, mcb, vcb, lcr, mcr, vcr,
+    return (_pack_levels(ly), my, vy, _pack_levels(lcb), mcb, vcb,
+            _pack_levels(lcr), mcr, vcr,
             jnp.stack([ry[-1], ry[p2]]), jnp.stack([rcb[-1], rcb[p2]]),
             jnp.stack([rcr[-1], rcr[p2]]))
 
@@ -308,7 +334,9 @@ def encode(
                 int(b_qp_offset), bool(multi_ref),
             ),
         )
-    ly, lcb, lcr = (a.astype(np.int16) for a in (ly, lcb, lcr))
+    # level planes arrive f32-bitcast-PACKED (two int16 per word) to halve
+    # the device->host traffic; everything below works on real int16
+    ly, lcb, lcr = (_unpack_levels(a) for a in (ly, lcb, lcr))
 
     zz = zigzag_order(BLOCK)
     header = _MAGIC + struct.pack(
