@@ -764,3 +764,27 @@ class TestChunkedEncode:
         s1 = codec.encode(tiny_video, qp=30, framerate=24.0)
         s2 = codec.encode(tiny_video, qp=30, framerate=24.0, chunk_frames=2)
         assert s1 == s2
+
+
+class TestLevelPacking:
+    """The encode graphs bitcast two int16 levels into one f32 word to
+    halve the device->host coefficient pull (the measured encode
+    bottleneck at 1080p); ``_unpack_levels`` must invert ``_pack_levels``
+    exactly over the full int16 domain — including values whose packed
+    bit pattern is a float NaN/Inf payload."""
+
+    def test_roundtrip_full_domain(self):
+        import jax
+
+        from elvis_tpu.codec.nvc import codec as nvc_codec
+
+        rng = np.random.default_rng(7)
+        lv = rng.integers(-32768, 32768, size=(3, 2, 5, 64)).astype(np.float32)
+        # force the adversarial patterns: extremes and NaN-payload pairs
+        lv[0, 0, 0, :8] = [-32768, 32767, 0, -1, 1, 255, -256, 32767]
+        lv[0, 0, 1, :2] = [1, 0x7FC0]  # packs to 0x7fc00001 (quiet NaN)
+        packed = jax.jit(nvc_codec._pack_levels)(jnp.asarray(lv))
+        assert packed.dtype == jnp.float32
+        assert packed.shape == (3, 2, 5, 32)
+        out = nvc_codec._unpack_levels(np.asarray(packed))
+        np.testing.assert_array_equal(out, lv.astype(np.int16))
