@@ -70,12 +70,7 @@ from elvis_tpu.restore.backends import (
     resolve_inpaint_backend,
     resolve_sr_backend,
 )
-from elvis_tpu.scoring import (
-    get_saliency_fn,
-    removability_scores,
-    spatial_temporal_complexity,
-)
-from elvis_tpu.scoring.saliency import saliency_to_block_mask
+from elvis_tpu.scoring import get_saliency_fn, removability_scores
 
 __all__ = ["run_elvis", "APPROACHES"]
 
@@ -163,6 +158,91 @@ def _apply_height_tiled(fn, arrays, halo: int, win_rows: int) -> np.ndarray:
             out = np.empty((n, h) + o.shape[2:], o.dtype)
         out[:, r0:r1] = o[:, r0 - start : r0 - start + (r1 - r0)]
     return out
+
+
+def _scoring_features_chunked(frames_np, block_size, sal_fn, chunk):
+    """Per-frame scoring features, jitted over 1-frame-haloed chunks.
+
+    Scoring previously ran EAGERLY over the whole device-resident f32
+    clip and pulled a float32 saliency plane per pixel — at 128 frames
+    @1080p that is hundreds of per-op dispatches over a high-latency
+    link plus a ~1 GB device->host pull (measured 669 s for the stage
+    on this image). Here each chunk runs as ONE jitted graph and the
+    pixel foreground mask crosses the link bit-packed 32-per-f32 word
+    (~33 MB for the same clip); nothing clip-sized touches the device.
+
+    The halo keeps chunking EXACT: every registered saliency backend is
+    computable from a +-1-frame temporal window (neural/center are
+    per-frame; motion_contrast uses forward/backward luma diffs with
+    per-frame normalization), and the backends' clip-edge motion rules
+    apply only where the window really is the clip edge (the left/right
+    halo flags are static). TC matches the unchunked rule the same way:
+    an interior chunk's first kept frame differences against its true
+    predecessor (the halo frame), and the clip's first frame gets TC=0
+    (the reference's empty first TC column, elvis.py:1180).
+
+    Returns host arrays: SC, TC, saliency block-mean pool, foreground
+    block fraction — each (N,By,Bx) f32 — and the (N,H,W) bool pixel
+    foreground mask.
+    """
+    import functools
+
+    from elvis_tpu.core.blocks import blockwise_reduce
+    from elvis_tpu.ops.color import rgb_to_gray
+    from elvis_tpu.scoring.complexity import texture_energy
+
+    n, h, w = (int(s) for s in frames_np.shape[:3])
+    wpad = (-w) % 32
+    b = block_size
+
+    # Resolve any lazy state BEFORE tracing: the neural backend's
+    # checkpoint restore does a device_put, which must not get staged
+    # into the jitted chunk graph below (backends advertise this via a
+    # `prepare` attribute; a warmup *call* would either run the heuristic
+    # backends eagerly op-by-op over the high-latency link or, jitted,
+    # stage the load's device_put all the same).
+    prepare = getattr(sal_fn, "prepare", None)
+    if prepare is not None:
+        prepare()
+
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def _features(win_u8, left, right):
+        f32 = win_u8.astype(jnp.float32)
+        gray = rgb_to_gray(f32)
+        sc = texture_energy(gray, b)
+        diff = jnp.concatenate(
+            [jnp.zeros_like(gray[:1]), gray[1:] - gray[:-1]], axis=0
+        )
+        tc = texture_energy(diff, b)
+        sal = sal_fn(f32)
+        lo, hi = (1 if left else 0), sal.shape[0] - (1 if right else 0)
+        sal, sc, tc = sal[lo:hi], sc[lo:hi], tc[lo:hi]
+        fg_pool = blockwise_reduce(sal.astype(jnp.float32), b, jnp.mean)
+        fg_bits = sal >= 0.5
+        fg_frac = blockwise_reduce(fg_bits.astype(jnp.float32), b, jnp.mean)
+        bits = jnp.pad(fg_bits, ((0, 0), (0, 0), (0, wpad)))
+        words = (
+            bits.reshape(bits.shape[0], h, -1, 32).astype(jnp.uint32)
+            << jnp.arange(32, dtype=jnp.uint32)
+        ).sum(axis=-1, dtype=jnp.uint32)
+        return sc, tc, fg_pool, fg_frac, jax.lax.bitcast_convert_type(
+            words, jnp.float32
+        )
+
+    outs = [[] for _ in range(5)]
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        w0, w1 = max(s - 1, 0), min(e + 1, n)
+        res = _features(jnp.asarray(frames_np[w0:w1]), w0 < s, w1 > e)
+        for acc, r in zip(outs, res):
+            acc.append(np.asarray(r))
+    sc, tc, fg_pool, fg_frac, packed = (np.concatenate(o) for o in outs)
+    bits = np.unpackbits(
+        np.ascontiguousarray(packed).view(np.uint32).view(np.uint8),
+        bitorder="little",
+    )
+    fg_pixel = bits.reshape(n, h, w + wpad)[:, :, :w].astype(bool)
+    return sc, tc, fg_pool, fg_frac, fg_pixel
 
 
 class _DataParallel:
@@ -412,8 +492,6 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
     if config.framerate_override:
         framerate = config.framerate_override
     n = frames_np.shape[0]
-    frames = jnp.asarray(frames_np)
-    frames_f32 = frames.astype(jnp.float32)
     duration = n / framerate
     target_bitrate = config.target_bitrate_override or calculate_target_bitrate(
         width, height, framerate, config.quality_factor
@@ -460,38 +538,50 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
     t0 = time.time()
 
     def _score():
-        from elvis_tpu.core.blocks import blockwise_reduce
         from elvis_tpu.scoring import importance_scores
 
-        comp = spatial_temporal_complexity(frames_f32, b)
-        sal = get_saliency_fn(config.saliency_backend)(frames_f32)
-        fg_block = saliency_to_block_mask(sal, b)
-        scores = removability_scores(
-            comp.SC, comp.TC, fg_block,
-            alpha=config.removability_alpha,
-            smoothing_beta=config.removability_smoothing_beta,
+        # Features per haloed frame chunk (one jitted graph each, packed
+        # mask pull) — see _scoring_features_chunked; the math is
+        # spatial_temporal_complexity + the registered saliency backend,
+        # chunk-exactly.
+        chunk = max(1, _FRAME_CHUNK_PIXEL_BUDGET // (height * width))
+        sc, tc, fg_pool, fg_frac, fg_pixel = _scoring_features_chunked(
+            frames_np, b, get_saliency_fn(config.saliency_backend), chunk
         )
-        # PRESLEY importance variant (utils.py:665-688) for the ROI stage —
-        # the formulation behind the reference's measured FG gains
-        # (TECHNICAL_REPORT.md:160-174 uses the kvazaar/importance path).
-        # A block counts as foreground if ANY meaningful part of it is —
-        # object-boundary blocks dominate FG pixel error, and classing
-        # them background inverts the intended trade.
-        fg_frac = blockwise_reduce((sal >= 0.5).astype(jnp.float32), b, jnp.mean)
-        fg_weight = (fg_frac > 0.1).astype(jnp.float32)
-        importance = importance_scores(
-            comp.SC, comp.TC, fg_weight,
-            alpha=config.removability_alpha,
-            beta=config.removability_smoothing_beta,
-        )
+
+        @jax.jit
+        def _fuse(sc, tc, fg_pool, fg_frac):
+            scores = removability_scores(
+                sc, tc, fg_pool >= 0.5,  # == saliency_to_block_mask(sal, b)
+                alpha=config.removability_alpha,
+                smoothing_beta=config.removability_smoothing_beta,
+            )
+            # PRESLEY importance variant (utils.py:665-688) for the ROI
+            # stage — the formulation behind the reference's measured FG
+            # gains (TECHNICAL_REPORT.md:160-174 uses kvazaar/importance).
+            # A block counts as foreground if ANY meaningful part of it
+            # is — object-boundary blocks dominate FG pixel error, and
+            # classing them background inverts the intended trade.
+            fg_weight = (fg_frac > 0.1).astype(jnp.float32)
+            importance = importance_scores(
+                sc, tc, fg_weight,
+                alpha=config.removability_alpha,
+                beta=config.removability_smoothing_beta,
+            )
+            return scores, importance
+
+        scores, importance = _fuse(*(jnp.asarray(a)
+                                     for a in (sc, tc, fg_pool, fg_frac)))
         return {
             "scores": np.asarray(scores),
             "importance": np.asarray(importance),
-            "saliency": np.asarray(sal),
-            "fg_block": np.asarray(fg_block),
+            "fg_pixel": fg_pixel,
         }
 
-    scored = cache.get_or_run("scoring", [config.to_dict(), frames_np], _score)
+    # "v2": the cached schema replaced the float saliency plane with the
+    # packed bool mask — keep old-format entries from being read back.
+    scored = cache.get_or_run("scoring", ["v2", config.to_dict(), frames_np],
+                              _score)
     scores = jnp.asarray(scored["scores"])
     importance = scored["importance"]
     if config.masks_dir:
@@ -501,7 +591,7 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
 
         fg_masks_pixel = load_masks(config.masks_dir, width, height, n)
     else:
-        fg_masks_pixel = scored["saliency"] >= 0.5  # (N,H,W) bool
+        fg_masks_pixel = scored["fg_pixel"].astype(bool)  # (N,H,W)
     # persist masks like the reference's maps/ufo_masks (elvis.py:1186-1199)
     save_frames_png(
         (fg_masks_pixel * 255).astype(np.uint8)[..., None].repeat(3, -1),
@@ -537,12 +627,22 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
     t0 = time.time()
 
     def _shrink():
-        shrunk, removal_mask = apply_selective_removal(
-            frames, scores, b, config.shrink_amount
+        # Per-frame op (static removal count per row): bounded-memory
+        # frame chunks, frames pushed per chunk (nothing clip-sized stays
+        # on device).
+        jrm = jax.jit(
+            lambda f, sc_: apply_selective_removal(f, sc_, b, config.shrink_amount)
         )
-        s = codec.encode(np.asarray(shrunk), **enc_kw)
+        chunk = _DataParallel._chunk_frames(frames_np.shape)
+        shrunk_l, mask_l = [], []
+        for s0 in range(0, n, chunk):
+            e0 = min(s0 + chunk, n)
+            f, m = jrm(jnp.asarray(frames_np[s0:e0]), scores[s0:e0])
+            shrunk_l.append(np.asarray(f))
+            mask_l.append(np.asarray(m))
+        s = codec.encode(np.concatenate(shrunk_l), **enc_kw)
         return {"stream": s, "decoded": codec.decode(s),
-                "removal_mask": np.asarray(removal_mask)}
+                "removal_mask": np.concatenate(mask_l)}
 
     r = cache.get_or_run("shrink_encode", _branch_key, _shrink)
     streams["shrunk"] = r["stream"]
@@ -597,15 +697,15 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         bounded-memory frame chunks (a clip-sized degrade graph at 128
         frames @1080p exceeds the compiler/HBM limits — measured)."""
         jop = jax.jit(op)
-        n_f = frames.shape[0]
-        chunk = _DataParallel._chunk_frames(frames.shape)
+        n_f = frames_np.shape[0]
+        chunk = _DataParallel._chunk_frames(frames_np.shape)
         if n_f <= chunk:
-            f, l = jop(frames, scores)
+            f, l = jop(jnp.asarray(frames_np), scores)
             return np.asarray(f), np.asarray(l)
         fs, ls = [], []
         for s in range(0, n_f, chunk):
             e = min(s + chunk, n_f)
-            f, l = jop(frames[s:e], scores[s:e])
+            f, l = jop(jnp.asarray(frames_np[s:e]), scores[s:e])
             fs.append(np.asarray(f))
             ls.append(np.asarray(l))
         return np.concatenate(fs, axis=0), np.concatenate(ls, axis=0)

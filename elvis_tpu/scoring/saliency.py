@@ -93,23 +93,45 @@ def motion_contrast_saliency(frames: jnp.ndarray) -> jnp.ndarray:
     return norm01(sal)
 
 
-@register_saliency("neural")
-def neural_saliency(frames: jnp.ndarray) -> jnp.ndarray:
-    """SaliencyNet (the UFO slot, elvis_tpu.models.saliency_net), loading
-    the shipped ``checkpoints/saliency`` when present. Without weights it
-    degrades to the motion-contrast heuristic — an untrained segmenter is
-    not a usable mask source."""
+_NEURAL_SALIENCY_FN = None
+
+
+def _neural_saliency_prepare():
+    """Load the shipped SaliencyNet checkpoint ONCE per process (module
+    cache), falling back to the motion-contrast heuristic without weights
+    (an untrained segmenter is not a usable mask source).
+
+    Exposed as ``neural_saliency.prepare`` so callers that jit around the
+    backend (the pipeline's chunked scoring) can resolve the restore —
+    which includes a device_put — OUTSIDE any trace; once cached, the
+    params are closure constants under tracing, never tracers."""
     import os
 
-    from elvis_tpu.models import SaliencyNet, make_neural_saliency_fn
-    from elvis_tpu.models.io import default_checkpoint_dir, load_params
+    global _NEURAL_SALIENCY_FN
+    if _NEURAL_SALIENCY_FN is None:
+        import numpy as np
 
-    path = os.path.join(default_checkpoint_dir(), "saliency")
-    if not os.path.isdir(path):
-        return motion_contrast_saliency(frames)
-    model = SaliencyNet()
-    params = load_params(model, path, jnp.zeros((2, 16, 16, 3)))
-    return make_neural_saliency_fn(model, params)(frames)
+        from elvis_tpu.models import SaliencyNet, make_neural_saliency_fn
+        from elvis_tpu.models.io import default_checkpoint_dir, load_params
+
+        path = os.path.join(default_checkpoint_dir(), "saliency")
+        if not os.path.isdir(path):
+            _NEURAL_SALIENCY_FN = motion_contrast_saliency
+        else:
+            model = SaliencyNet()
+            params = load_params(model, path, np.zeros((2, 16, 16, 3), np.float32))
+            _NEURAL_SALIENCY_FN = make_neural_saliency_fn(model, params)
+    return _NEURAL_SALIENCY_FN
+
+
+@register_saliency("neural")
+def neural_saliency(frames: jnp.ndarray) -> jnp.ndarray:
+    """SaliencyNet (the UFO slot, elvis_tpu.models.saliency_net); see
+    :func:`_neural_saliency_prepare` for the load-once/fallback policy."""
+    return _neural_saliency_prepare()(frames)
+
+
+neural_saliency.prepare = _neural_saliency_prepare
 
 
 def saliency_to_block_mask(saliency: jnp.ndarray, block_size: int, threshold: float = 0.5) -> jnp.ndarray:

@@ -389,3 +389,55 @@ class TestStageResume:
         assert second < 0.5 * first, (first, second, resumed_wall)
         cache_files = list((tmp_path / "exp" / "stage_cache").glob("*.npz"))
         assert len(cache_files) >= 6  # scoring + 5 encode branches
+
+
+class TestChunkedScoring:
+    """The scoring stage runs per-frame features in 1-frame-haloed jitted
+    chunks (run.py:_scoring_features_chunked); chunking must be EXACT vs
+    the one-shot math for every registered saliency backend — including
+    motion_contrast, whose forward/backward temporal diffs and clip-edge
+    rules are what the halo flags exist for."""
+
+    @pytest.mark.parametrize("backend", ["motion_contrast", "center_prior",
+                                         "neural"])
+    @pytest.mark.parametrize("chunk", [3, 16])  # multi-chunk and n<=chunk
+    def test_chunked_equals_oneshot(self, backend, chunk):
+        import jax.numpy as jnp
+
+        from elvis_tpu.core.blocks import blockwise_reduce
+        from elvis_tpu.pipeline.run import _scoring_features_chunked
+        from elvis_tpu.scoring import (
+            get_saliency_fn,
+            spatial_temporal_complexity,
+        )
+
+        rng = np.random.default_rng(3)
+        # W=48: not a multiple of 32, exercising the bit-pack padding
+        frames = rng.integers(0, 256, size=(10, 32, 48, 3)).astype(np.uint8)
+        sal_fn = get_saliency_fn(backend)
+
+        sc, tc, fg_pool, fg_frac, fg_pixel = _scoring_features_chunked(
+            frames, 8, sal_fn, chunk
+        )
+
+        f32 = jnp.asarray(frames.astype(np.float32))
+        comp = spatial_temporal_complexity(f32, 8)
+        sal = sal_fn(f32)
+        np.testing.assert_allclose(sc, np.asarray(comp.SC), rtol=1e-5, atol=1e-3)
+        np.testing.assert_allclose(tc, np.asarray(comp.TC), rtol=1e-5, atol=1e-3)
+        np.testing.assert_allclose(
+            fg_pool,
+            np.asarray(blockwise_reduce(sal.astype(jnp.float32), 8, jnp.mean)),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            fg_frac,
+            np.asarray(
+                blockwise_reduce((sal >= 0.5).astype(jnp.float32), 8, jnp.mean)
+            ),
+            rtol=1e-5, atol=1e-5,
+        )
+        # pixel mask: bit-packed pull must reproduce sal >= 0.5 (tiny
+        # jit-vs-eager float drift may flip exact-threshold pixels)
+        assert (fg_pixel != (np.asarray(sal) >= 0.5)).mean() < 1e-3
+        assert fg_pixel.shape == frames.shape[:3] and fg_pixel.dtype == bool
