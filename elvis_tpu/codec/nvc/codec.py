@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from elvis_tpu.codec.nvc import entropy
+from elvis_tpu.utils.transfer import pull
 from elvis_tpu.codec.nvc.transform import (
     BLOCK,
     decode_plane,
@@ -336,7 +337,7 @@ def encode(
         )
     # level planes arrive f32-bitcast-PACKED (two int16 per word) to halve
     # the device->host traffic; everything below works on real int16
-    ly, lcb, lcr = (_unpack_levels(a) for a in (ly, lcb, lcr))
+    ly, lcb, lcr = (_unpack_levels(pull(a)) for a in (ly, lcb, lcr))
 
     zz = zigzag_order(BLOCK)
     header = _MAGIC + struct.pack(
@@ -490,7 +491,7 @@ def decode(stream: bytes) -> Tuple[np.ndarray, float]:
                 jnp.asarray(qp_c[s:e]), h // 2, w // 2, r_cr, m_cr, init_cr)
             rgb = yuv420_to_rgb(yk, cbk, crk)
             rgb = jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
-            parts.append(np.asarray(rgb[:, :orig_h, :orig_w]))
+            parts.append(pull(rgb[:, :orig_h, :orig_w]))
         return np.concatenate(parts, axis=0), float(fps)
 
     if bfr:
@@ -503,7 +504,7 @@ def decode(stream: bytes) -> Tuple[np.ndarray, float]:
     cr = dec(as_f32(lcr), jnp.asarray(mcr), jnp.asarray(vcr), jnp.asarray(qp_c), h // 2, w // 2, _reach_of(vcr), _mref(mcr))
     rgb = yuv420_to_rgb(y, cb, cr)
     rgb = jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
-    return np.asarray(rgb[:, :orig_h, :orig_w]), float(fps)
+    return pull(rgb[:, :orig_h, :orig_w]), float(fps)
 
 
 def luma_modes(stream: bytes) -> np.ndarray:

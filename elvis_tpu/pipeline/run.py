@@ -60,6 +60,7 @@ from elvis_tpu.metrics.report import format_summary_report
 from elvis_tpu.pipeline.cache import StageCache
 from elvis_tpu.pipeline.config import ElvisConfig
 from elvis_tpu.pipeline.io import load_clip, save_frames_png
+from elvis_tpu.utils.transfer import as_pixels_u8, pull
 from elvis_tpu.restore import (
     restore_blur_unsharp,
     restore_downsample_lanczos,
@@ -141,7 +142,7 @@ def _apply_height_tiled(fn, arrays, halo: int, win_rows: int) -> np.ndarray:
     tile = max(((win_rows - 2 * halo) // align) * align, align)
     win = tile + 2 * halo
     if win >= h:
-        return np.asarray(jax.jit(fn)(*[jnp.asarray(a) for a in arrays]))
+        return pull(jax.jit(fn)(*[jnp.asarray(a) for a in arrays]))
     jfn = jax.jit(fn)
     out = None
     for r0 in range(0, h, tile):
@@ -151,7 +152,7 @@ def _apply_height_tiled(fn, arrays, halo: int, win_rows: int) -> np.ndarray:
             jnp.asarray(a[:, start // r : (start + win) // r])
             for a, r in zip(arrays, ratios)
         ]
-        o = np.asarray(jfn(*parts))
+        o = pull(jfn(*parts))
         if o.shape[1] != win:
             raise ValueError("height-tiled ops must preserve frame height")
         if out is None:
@@ -320,7 +321,7 @@ class _DataParallel:
                 if tiled:
                     out = _apply_height_tiled(fn, part, *tiled)[: e - s]
                 else:
-                    out = np.asarray(jfn(*[jnp.asarray(p) for p in part])[: e - s])
+                    out = pull(jfn(*[jnp.asarray(p) for p in part])[: e - s])
                 outs.append(out)
             return np.concatenate(outs, axis=0)
         arrays = [jnp.asarray(a) for a in arrays]
@@ -349,7 +350,7 @@ class _DataParallel:
                     out = _apply_height_tiled(fn, [a[lo:hi] for a in arrays], *tiled)
                 else:
                     out = jfn(*[jnp.asarray(a[lo:hi]) for a in arrays])
-                outs.append(np.asarray(out[s - lo : s - lo + (e - s)]))
+                outs.append(pull(out[s - lo : s - lo + (e - s)]))
             return np.concatenate(outs, axis=0)
         arrays = [jnp.asarray(a) for a in arrays]
         n = arrays[0].shape[0]
@@ -514,11 +515,12 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
             and dp.spatial_ok(height, b)
         ):
             return dp.apply_spatial(
-                lambda f, l: fn(f, l, b), frames_in, maps_in,
+                as_pixels_u8(lambda f, l: fn(f, l, b)), frames_in, maps_in,
                 halo=config.spatial_halo, block_size=b,
             )
         return dp.apply(
-            _carry_tiling(lambda f, m: fn(f, m, b), fn), frames_in, maps_in
+            _carry_tiling(as_pixels_u8(lambda f, m: fn(f, m, b)), fn),
+            frames_in, maps_in,
         )
 
     # Codec dispatch (elvis_tpu.codec.dispatch): the built-in NVC codec or
@@ -638,7 +640,7 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         for s0 in range(0, n, chunk):
             e0 = min(s0 + chunk, n)
             f, m = jrm(jnp.asarray(frames_np[s0:e0]), scores[s0:e0])
-            shrunk_l.append(np.asarray(f))
+            shrunk_l.append(pull(f))
             mask_l.append(np.asarray(m))
         s = codec.encode(np.concatenate(shrunk_l), **enc_kw)
         return {"stream": s, "decoded": codec.decode(s),
@@ -696,18 +698,27 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         """(frames', levels) from a per-frame degrade op, computed in
         bounded-memory frame chunks (a clip-sized degrade graph at 128
         frames @1080p exceeds the compiler/HBM limits — measured)."""
-        jop = jax.jit(op)
+        def _op_u8(f, s_):
+            # degraded frames leave the graph uint8: that is the domain
+            # the encoder consumes (the reference stages them through
+            # PNG, elvis.py:4462+), and u8 crosses the link 4x cheaper
+            fr, lv = op(f, s_)
+            if not jnp.issubdtype(fr.dtype, jnp.integer):
+                fr = jnp.clip(jnp.round(fr), 0, 255)
+            return fr.astype(jnp.uint8), lv
+
+        jop = jax.jit(_op_u8)
         n_f = frames_np.shape[0]
         chunk = _DataParallel._chunk_frames(frames_np.shape)
         if n_f <= chunk:
             f, l = jop(jnp.asarray(frames_np), scores)
-            return np.asarray(f), np.asarray(l)
+            return pull(f), pull(l)
         fs, ls = [], []
         for s in range(0, n_f, chunk):
             e = min(s + chunk, n_f)
             f, l = jop(jnp.asarray(frames_np[s:e]), scores[s:e])
-            fs.append(np.asarray(f))
-            ls.append(np.asarray(l))
+            fs.append(pull(f))
+            ls.append(pull(l))
         return np.concatenate(fs, axis=0), np.concatenate(ls, axis=0)
 
     # --- stage 5: downsample branch (elvis.py:4462-4486) --------------------
@@ -770,7 +781,10 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         damp_maps_path, sidecar_sizes["dampen"] = _save_maps(r["levels"], "dampen")
         damp_levels_dec = _load_maps(damp_maps_path)
         decoded[APPROACHES.ELVIS_V2_DAMPEN] = np.asarray(
-            restore_dct_dampen_inverse(jnp.asarray(damp_decoded), damp_levels_dec, b)
+            dp.apply(
+                as_pixels_u8(lambda f, l: restore_dct_dampen_inverse(f, l, b)),
+                damp_decoded, np.asarray(damp_levels_dec),
+            )
         )
         dt = time.time() - t0
         execution_times["DCT Dampen Branch"] = dt
@@ -806,7 +820,7 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         row_branch[label] = "shrunk"
         t0 = time.time()
         out = _apply_inpaint_backend(dp, name, fn, stretched, removal_mask, b)
-        decoded[label] = np.asarray(out)
+        decoded[label] = pull(out)
         dt = time.time() - t0
         execution_times[timer] = dt
         approach_times[label] += dt
@@ -823,9 +837,10 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         sr_out = _restore_framewise(fn, down_decoded, levels_dec)
         if config.temporal_blend > 0:
             sr_out = dp.apply_temporal(
-                lambda f: temporal_blend(f, config.temporal_blend), (sr_out,), overlap=8
+                as_pixels_u8(lambda f: temporal_blend(f, config.temporal_blend)),
+                (sr_out,), overlap=8,
             )
-        decoded[label] = np.asarray(sr_out)
+        decoded[label] = pull(sr_out)
         dt = time.time() - t0
         execution_times[timer] = dt
         approach_times[label] += dt
@@ -842,9 +857,10 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         deblurred = _restore_framewise(fn, blur_decoded, blur_levels_dec)
         if config.temporal_blend > 0:
             deblurred = dp.apply_temporal(
-                lambda f: temporal_blend(f, config.temporal_blend), (deblurred,), overlap=8
+                as_pixels_u8(lambda f: temporal_blend(f, config.temporal_blend)),
+                (deblurred,), overlap=8,
             )
-        decoded[label] = np.asarray(deblurred)
+        decoded[label] = pull(deblurred)
         dt = time.time() - t0
         execution_times[timer] = dt
         approach_times[label] += dt
@@ -874,13 +890,16 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
     if config.generate_opencv_benchmarks:
         t0 = time.time()
         decoded[APPROACHES.PRESLEY_LANCZOS] = np.asarray(
-            dp.apply(lambda f, m: restore_downsample_lanczos(f, m, b),
+            dp.apply(as_pixels_u8(lambda f, m: restore_downsample_lanczos(f, m, b)),
                      down_decoded, levels_dec)
         )
         bitrates[APPROACHES.PRESLEY_LANCZOS] = bitrates[APPROACHES.PRESLEY_REALESRGAN]
         decoded[APPROACHES.PRESLEY_UNSHARP] = np.asarray(
             dp.apply(
-                lambda f, m: restore_blur_unsharp(f, m, b, config.gaussian_max_rounds),
+                as_pixels_u8(
+                    lambda f, m: restore_blur_unsharp(f, m, b,
+                                                      config.gaussian_max_rounds)
+                ),
                 blur_decoded, blur_levels_dec,
             )
         )
