@@ -49,6 +49,10 @@ __all__ = ["NvcCodec", "NvcStream", "encode", "decode"]
 _MAGIC = b"NVC1"
 _PAD = 2 * BLOCK  # luma pad so chroma planes are whole-block too
 
+# clips at least this long rate-target via prefix probes (one full encode)
+# instead of 2-3 full two-pass encodes; see NvcCodec._encode_targeted_prefix
+_PREFIX_PROBE_MIN_FRAMES = 48
+
 
 def _pad_to(x: np.ndarray, mult: int) -> np.ndarray:
     n, h, w, c = x.shape
@@ -570,6 +574,10 @@ class NvcCodec:
         target_bits = target_bitrate * duration
 
         qp_probe = 32
+        if n >= _PREFIX_PROBE_MIN_FRAMES:
+            return self._encode_targeted_prefix(
+                frames, target_bits, duration, qp_probe, gop, kw)
+
         stream = encode(frames, qp=qp_probe, **kw)
         bits = len(stream) * 8
         # bits roughly halve per +6 QP
@@ -591,6 +599,69 @@ class NvcCodec:
             )
             if qp_ref != qp_est:
                 stream = encode(frames, qp=qp_ref, **kw)
+        return stream
+
+    def _encode_targeted_prefix(self, frames, target_bits, duration,
+                                qp_probe, gop, kw) -> bytes:
+        """Rate targeting with prefix probes: long clips pay ONE full
+        encode instead of 2-3.
+
+        The reference's two-pass recipe (elvis.py:1226-1322) re-encodes
+        the whole clip per pass; at 128f/1080p on this image each full
+        NVC pass is minutes of host entropy coding, so the bits(QP)
+        model is fitted on frame *prefixes* instead.  bits(m) is ~affine
+        in m for a fixed intra cadence, so two prefixes whose length
+        difference spans exactly one GOP cycle give the steady per-frame
+        rate; the per-QP *ratio* needed for refinement is measured on a
+        single prefix.  A final full-clip safety check re-encodes only
+        on a gross (>35%) miss.
+        """
+        n = frames.shape[0]
+        roi = kw.get("roi_delta_qp")
+
+        # prefix increment spans one intra cycle so the fitted per-frame
+        # rate carries the gop's intra/inter blend
+        unit = int(gop) if 0 < int(gop) <= n // 3 else 8
+        k1 = min(8, max(2, n // 8))
+        k2 = k1 + unit
+        if k2 > n // 2:  # degenerate gop vs clip length: single prefix
+            k1, k2 = 0, max(8, n // 8)
+
+        def _enc_prefix(k, q):
+            kw_k = dict(kw)
+            if roi is not None:
+                kw_k["roi_delta_qp"] = roi[:k]
+            return len(encode(frames[:k], qp=q, **kw_k)) * 8
+
+        b2_probe = _enc_prefix(k2, qp_probe)
+        if k1:
+            b1_probe = _enc_prefix(k1, qp_probe)
+            per_frame = max((b2_probe - b1_probe) / (k2 - k1), b2_probe / k2 * 0.1)
+        else:
+            per_frame = b2_probe / k2
+        est_probe = b2_probe + per_frame * (n - k2)
+
+        qp_est = int(np.clip(
+            round(qp_probe + 6 * np.log2(est_probe / target_bits)), 0, 51))
+        qp_final = qp_est
+        if qp_est != qp_probe:
+            # refine on the measured prefix ratio (one cheap probe)
+            b2_est = _enc_prefix(k2, qp_est)
+            est_est = est_probe * b2_est / max(b2_probe, 1)
+            if abs(est_est - target_bits) / target_bits > 0.15:
+                slope = np.log2(b2_est / b2_probe) / (qp_est - qp_probe)
+                slope = slope if slope < -1e-3 else -1 / 6
+                qp_final = int(np.clip(
+                    round(qp_est + np.log2(target_bits / est_est) / slope), 0, 51))
+
+        stream = encode(frames, qp=qp_final, **kw)
+        bits = len(stream) * 8
+        if abs(bits - target_bits) / target_bits > 0.35:
+            # gross miss (prefix unrepresentative): one corrective pass
+            qp_corr = int(np.clip(
+                round(qp_final + 6 * np.log2(bits / target_bits)), 0, 51))
+            if qp_corr != qp_final:
+                stream = encode(frames, qp=qp_corr, **kw)
         return stream
 
     def decode(self, stream: bytes) -> Tuple[np.ndarray, float]:

@@ -156,6 +156,36 @@ class TestNvc:
         actual = len(stream) * 8 / (5 / 24.0)
         assert 0.4 * target < actual < 2.5 * target
 
+    def test_bitrate_targeting_long_clip_prefix_probes(self, rng, monkeypatch):
+        """Long clips rate-target via prefix probes: at most one
+        full-length encode in the common case (plus one corrective pass
+        on a gross miss), and the result still lands near the target."""
+        import elvis_tpu.codec.nvc.codec as M
+
+        n = 56
+        frames = (rng.random((n, 32, 48, 3)) * 255).astype(np.uint8)
+        codec = NvcCodec()
+        # calibrate a reachable target from a mid-QP encode of this clip
+        target = int(len(codec.encode(frames, qp=26, framerate=24.0,
+                                      gop=8)) * 8 / (n / 24.0))
+
+        full_calls = []
+        orig = M.encode
+
+        def counting(fr, **kw):
+            if fr.shape[0] == n:
+                full_calls.append(kw.get("qp"))
+            return orig(fr, **kw)
+
+        monkeypatch.setattr(M, "encode", counting)
+        stream = codec.encode(frames, target_bitrate=target,
+                              framerate=24.0, gop=8)
+        assert len(full_calls) <= 2  # 1 normally, 2 only on a gross miss
+        actual = len(stream) * 8 / (n / 24.0)
+        assert 0.4 * target < actual < 2.5 * target
+        dec, _ = codec.decode(stream)
+        assert dec.shape == frames.shape
+
     def test_roi_shifts_quality(self, tiny_video):
         codec = NvcCodec()
         delta = np.full((5, 6, 8), 8, dtype=np.int8)
