@@ -161,6 +161,11 @@ def main() -> int:
     }
     digest["approaches"] = approach_digest(results)
 
+    # Partial dump now: a crash in the resume run must not lose the cold
+    # numbers (3h+ of wall-clock on this image).
+    with open(args.out, "w") as f:
+        json.dump(digest, f, indent=2)
+
     # Second run in the same experiment dir: StageCache resume behaviour.
     t0 = time.time()
     results2 = run_elvis(config)
