@@ -64,6 +64,33 @@ def upsample_map(block_map: jnp.ndarray, block_size: int) -> jnp.ndarray:
     return jnp.repeat(x, block_size, axis=-2)
 
 
+def dilate_block_mask(mask: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Binary dilation of a per-block boolean map ``(..., By, Bx)`` by
+    ``radius`` blocks (Chebyshev / square structuring element).
+
+    The block-resolution counterpart of the reference's pixel-space
+    ``mask_dilation`` knobs (ProPainter/E2FGVI plumbing, elvis.py:1458/
+    1693): inpainting a slightly larger region hides boundary artifacts.
+    ``radius=0`` is the identity.
+    """
+    out = mask.astype(bool)
+    for axis in (-2, -1):
+        acc = out
+        for d in range(1, radius + 1):
+            lo = jnp.roll(out, d, axis=axis)
+            hi = jnp.roll(out, -d, axis=axis)
+            # zero the wrapped edge instead of letting roll carry it over
+            idx_lo = [slice(None)] * out.ndim
+            idx_lo[axis] = slice(0, d)
+            idx_hi = [slice(None)] * out.ndim
+            idx_hi[axis] = slice(out.shape[axis] - d, None)
+            lo = lo.at[tuple(idx_lo)].set(False)
+            hi = hi.at[tuple(idx_hi)].set(False)
+            acc = acc | lo | hi
+        out = acc
+    return out
+
+
 def downsample_mask(pixel_mask: jnp.ndarray, block_size: int, threshold: float = 0.5) -> jnp.ndarray:
     """Reduce a pixel mask ``(..., H, W)`` to a per-block boolean map by
     mean-pooling and thresholding."""

@@ -13,7 +13,29 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
-__all__ = ["init_params", "load_params", "maybe_load_params", "default_checkpoint_dir"]
+__all__ = [
+    "init_params",
+    "load_params",
+    "maybe_load_params",
+    "default_checkpoint_dir",
+    "host_params",
+]
+
+
+def host_params(params: Any) -> Any:
+    """Convert a param pytree to host numpy — MESH-AGNOSTIC placement.
+
+    Restored/initialized jax arrays land COMMITTED to specific devices
+    (orbax restores to device 0; a full-mesh replicate commits to all
+    devices), which errors when the params are then closed over inside a
+    ``shard_map`` on a DIFFERENT device subset (the per-stage
+    ``*_devices`` knobs). Host constants instead get baked into each
+    compiled executable — transferred once per compile, valid under any
+    mesh."""
+    import jax
+    import numpy as np
+
+    return jax.tree.map(np.asarray, params)
 
 
 def default_checkpoint_dir() -> str:
@@ -27,7 +49,7 @@ def default_checkpoint_dir() -> str:
 def init_params(model, *example_args) -> Any:
     import jax
 
-    return jax.jit(model.init)(jax.random.PRNGKey(0), *example_args)
+    return host_params(jax.jit(model.init)(jax.random.PRNGKey(0), *example_args))
 
 
 def load_params(model, path: str, *example_args) -> Any:
@@ -49,15 +71,9 @@ def load_params(model, path: str, *example_args) -> Any:
 
     abstract = jax.eval_shape(init_fn, *[example_args[i] for i in arr_idx])
     params = ocp.StandardCheckpointer().restore(os.path.abspath(path), abstract)
-    if jax.device_count() > 1:
-        # Replicate across the mesh: restored params land committed to
-        # device 0, which conflicts with frame-axis-sharded inputs.
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        from elvis_tpu.parallel import make_mesh
-
-        params = jax.device_put(params, NamedSharding(make_mesh(), PartitionSpec()))
-    return params
+    # Host placement: valid under the full mesh, any per-stage device
+    # subset, and single-chip chunking alike (see host_params).
+    return host_params(params)
 
 
 def maybe_load_params(model, path: Optional[str], *example_args) -> Any:

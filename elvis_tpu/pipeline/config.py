@@ -2,12 +2,15 @@
 
 Field-name parity with the reference's ``ElvisConfig`` (elvis.py:48-101)
 so the grid/random search drivers and ``analysis_results.json`` consumers
-work unchanged (BASELINE.json north star; §5.6). Reference fields that
-configure external CUDA model subprocess plumbing (propainter_*/e2fgvi_*/
-realesrgan_*/instantir_* device lists, chunk lengths...) are accepted and
-recorded — they parameterize this framework's equivalent slots where a
-counterpart exists (e.g. ``*_devices`` select mesh devices; neighbor/
-window lengths feed the temporal halo) and are otherwise inert.
+work unchanged (BASELINE.json north star; §5.6). Every declared field is
+either LIVE — it parameterizes this framework's equivalent mechanism —
+or listed in ``ABSORBED_FIELDS`` with the reason it has no counterpart
+(never silently inert; tests/test_config_audit.py enforces the split).
+Live examples: ``*_devices`` select the mesh devices a stage shards
+over; neighbor/window lengths feed the temporal halo;
+``*_parallel_chunk_length`` bound the single-chip frame chunks;
+``realesrgan_tile``/``tile_pad`` drive single-chip height tiling;
+``propainter_mask_dilation`` dilates the hole mask in block units.
 
 It also declares the fields the reference *reads but never declared* —
 ``strength_maps_use_npz`` (elvis.py:4837 reads it; bug #2 in SURVEY.md
@@ -27,7 +30,50 @@ import json
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Union
 
-__all__ = ["ElvisConfig", "load_config_from_cli", "config_from_dict"]
+__all__ = [
+    "ElvisConfig",
+    "load_config_from_cli",
+    "config_from_dict",
+    "ABSORBED_FIELDS",
+]
+
+# Reference fields with NO mechanism to drive in this framework — each
+# accepted for config/search parity, recorded in results, and documented
+# here (the explicitly-absorbed pattern; tests/test_config_audit.py
+# asserts every other field has a live call site, and that these don't).
+ABSORBED_FIELDS = {
+    # Sized the reference's per-GPU FVMD process pool (elvis.py:3999-4033);
+    # FVMD here is batched jitted reductions with no process pool.
+    "fvmd_processes",
+    # RAFT's iterative flow refinement count (elvis.py:1458 plumbing).
+    # Motion guidance here is single-shot block matching (ops.motion);
+    # there is no inner refinement loop to iterate.
+    "propainter_raft_iter",
+    # Selected fp16 CUDA inference for ProPainter. The counterpart slot
+    # (motion-compensated propagation, restore.inpaint) is gathers and
+    # integer compares — there is no matmul precision to select. (Its SR
+    # sibling realesrgan_fp32 IS live: it forces full-precision matmuls.)
+    "propainter_fp16",
+    # DNI denoise-strength interpolated between the paired
+    # realesr-general-x4v3 / -wdn model WEIGHT SETS (elvis.py:2384-2493);
+    # no such paired checkpoint exists to interpolate.
+    "realesrgan_denoise_strength",
+    # Border pre-pad cropped back after CUDA tiling; the height-tile
+    # drivers use clamped (slid) windows, so borders keep their true
+    # SAME-padding and there is nothing to pre-pad.
+    "realesrgan_pre_pad",
+    # Host worker threads per GPU (elvis.py:2496-2504); there are no host
+    # worker threads — stages are single jitted graphs over shards.
+    "realesrgan_per_device_workers",
+    # SDXL classifier-free-guidance scale and the InstantIR
+    # preview/creative stage boundaries (elvis.py:3000). The shipped
+    # DiffusionRestorer is a conditioned x0-trajectory sampler with no
+    # text guidance and no preview/creative phases; its knobs are
+    # steps/t_start (instantir_seed IS live as the sampler's PRNG seed).
+    "instantir_cfg",
+    "instantir_creative_start",
+    "instantir_preview_start",
+}
 
 
 @dataclass

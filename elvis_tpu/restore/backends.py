@@ -33,6 +33,55 @@ __all__ = [
 BackendFn = Callable[[jnp.ndarray, jnp.ndarray, int], jnp.ndarray]
 
 
+def _with_hole_dilation(fn, dilation_px: int):
+    """Dilate the hole mask by ``dilation_px // block_size`` blocks before
+    restoring — the reference's ProPainter/E2FGVI ``mask_dilation`` knobs
+    (pixel units there; block granularity is the finest this framework's
+    removal masks carry, so sub-block dilations round down to 0)."""
+    if int(dilation_px) <= 0:
+        return fn
+    from elvis_tpu.core.blocks import dilate_block_mask
+
+    def wrapped(f, m, b):
+        r = int(dilation_px) // int(b)
+        if r > 0:
+            m = dilate_block_mask(m, r).astype(m.dtype if hasattr(m, "dtype") else bool)
+        return fn(f, m, b)
+
+    return wrapped
+
+
+def _with_resize_ratio(fn, ratio: float):
+    """Run an inpaint restorer at ``ratio`` of the input resolution, then
+    upscale and re-inject the restored hole pixels — the reference's
+    ``propainter_resize_ratio`` memory/speed trade (elvis.py:1458
+    plumbing). Known (non-hole) pixels never round-trip the resize."""
+    if not (0 < float(ratio) < 1.0):
+        return fn
+
+    def wrapped(f, m, b):
+        from elvis_tpu.core.blocks import upsample_map
+        from elvis_tpu.ops.resize import resize
+
+        b_small = max(int(round(int(b) * float(ratio))), 1)
+        by, bx = m.shape[-2], m.shape[-1]
+        h, w = f.shape[1], f.shape[2]
+        small = resize(
+            jnp.asarray(f).astype(jnp.float32), (by * b_small, bx * b_small),
+            method="area",
+        )
+        out_small = fn(small, m, b_small)
+        out = resize(jnp.asarray(out_small).astype(jnp.float32), (h, w),
+                     method="linear")
+        hole = upsample_map(jnp.asarray(m).astype(bool), int(b))[..., None]
+        out = jnp.where(hole, out, jnp.asarray(f).astype(jnp.float32))
+        if jnp.issubdtype(jnp.asarray(f).dtype, jnp.integer):
+            out = jnp.clip(jnp.round(out), 0, 255)
+        return out.astype(jnp.asarray(f).dtype)
+
+    return wrapped
+
+
 def default_params_path(name: str, configured: Optional[str], auto: bool) -> Optional[str]:
     """configured path wins; else the shipped ``checkpoints/<name>`` when
     auto-load is on and the checkpoint exists."""
@@ -65,6 +114,19 @@ def _srnet_upsampler(config, which: Optional[str] = None) -> Tuple[Optional[Call
     tiers = {"srnet": SRNet, "srnet_compact": SRNetCompact,
              "srnet_large": SRNetLarge}
 
+    def finish(fn, prov):
+        """realesrgan_fp32 (elvis.py:2384-2493): force full-precision
+        matmuls for the SR net — TPU convs otherwise run at the MXU's
+        bf16 rate (the reference's flag disables fp16 the same way)."""
+        if fn is None or not getattr(config, "realesrgan_fp32", False):
+            return fn, prov
+
+        def fp32(x):
+            with jax.default_matmul_precision("float32"):
+                return fn(x)
+
+        return fp32, f"{prov}+fp32"
+
     def load_tier(name):
         path = default_params_path(name, config.srnet_params_path, auto)
         if not path:
@@ -92,18 +154,18 @@ def _srnet_upsampler(config, which: Optional[str] = None) -> Tuple[Optional[Call
     if which in tiers:
         fn, path = load_tier(which)
         if fn is not None:
-            return fn, f"{which}:{path}"
+            return finish(fn, f"{which}:{path}")
         return None, "lanczos (no SR checkpoint)"
     if which in ("srnet_ensemble", "ensemble"):
         fn, prov = load_ensemble()
         if fn is not None:
-            return fn, prov
+            return finish(fn, prov)
         # fall through to single tiers when one checkpoint is missing
     # measured-best first (bench.py re-measures every tier every round):
     # ensemble > large > compact > rrdb on the multi-crop photo holdout
     fn, prov = load_ensemble()
     if fn is not None:
-        return fn, prov
+        return finish(fn, prov)
     for name in ("srnet_large", "srnet_compact", "srnet"):
         try:
             fn, path = load_tier(name)
@@ -112,7 +174,7 @@ def _srnet_upsampler(config, which: Optional[str] = None) -> Tuple[Optional[Call
             # architecture's checkpoint; other tiers' shapes won't match
             continue
         if fn is not None:
-            return fn, f"{name}:{path}"
+            return finish(fn, f"{name}:{path}")
     return None, "lanczos (no SR checkpoint)"
 
 
@@ -127,6 +189,23 @@ def resolve_sr_backend(name: str, config) -> Tuple[BackendFn, str]:
     from elvis_tpu.restore.lanczos import restore_downsample_lanczos
     from elvis_tpu.restore.level_seq import level_sequential_restore, naive_sr_restore
     from elvis_tpu.restore.progressive import lanczos_upsample_2x, progressive_restore
+
+    def _sr_knobs(fn, prov):
+        """Attach the reference's RealESRGAN runtime knobs to a
+        neural-SR closure: ``realesrgan_tile``/``tile_pad`` engage the
+        single-chip height-tile driver at a tile*tile pixel budget with
+        at least the measured-exact 32-row halo (elvis.py:2384-2493's
+        CUDA tiling), and ``realesrgan_parallel_chunk_length`` bounds the
+        frame chunks the stage driver feeds it (elvis.py:2743-2764)."""
+        tile = int(getattr(config, "realesrgan_tile", 0) or 0)
+        if tile > 0:
+            pad = int(getattr(config, "realesrgan_tile_pad", 10) or 0)
+            fn.spatial_halo_rows = max(32, pad)
+            fn.spatial_pixel_budget = tile * tile
+        chunk = getattr(config, "realesrgan_parallel_chunk_length", None)
+        if chunk:
+            fn.frame_chunk = int(chunk)
+        return fn, prov
 
     if name in ("progressive_lanczos",):
         return (
@@ -145,12 +224,12 @@ def resolve_sr_backend(name: str, config) -> Tuple[BackendFn, str]:
             else None,
         )
         if up is None:
-            return (
+            return _sr_knobs(
                 lambda f, m, b: progressive_restore(f, m, b, upsample_fn=lanczos_upsample_2x),
                 prov,
             )
-        return (lambda f, m, b: progressive_restore(f, m, b, upsample_fn=up),
-                f"progressive_neural[{prov}]")
+        return _sr_knobs(lambda f, m, b: progressive_restore(f, m, b, upsample_fn=up),
+                         f"progressive_neural[{prov}]")
     if name == "hybrid":
         # reference optimum: classical + 10% strength-weighted neural polish
         # (+5.71% SSIM for downsample, DEGRADATION_ABLATION_REPORT.tex:315-340)
@@ -162,7 +241,7 @@ def resolve_sr_backend(name: str, config) -> Tuple[BackendFn, str]:
             neural = progressive_restore(f, m, b, upsample_fn=up)
             return blended_restoration(classical, neural, m, b, alpha=0.1)
 
-        return hybrid, f"hybrid[lanczos + 0.1*{prov}]"
+        return _sr_knobs(hybrid, f"hybrid[lanczos + 0.1*{prov}]")
     if name == "level_seq":
         up, prov = _srnet_upsampler(config)
         up = up or lanczos_upsample_2x
@@ -183,11 +262,11 @@ def resolve_sr_backend(name: str, config) -> Tuple[BackendFn, str]:
             max_level = max(int(np.asarray(m).max()), 1)  # host metadata
             return level_sequential_restore(per_level, f, m, b, max_level)
 
-        return level_seq, f"level_seq[{prov}]"
+        return _sr_knobs(level_seq, f"level_seq[{prov}]")
     if name == "naive_sr":
         up, prov = _srnet_upsampler(config)
-        return (lambda f, m, b: naive_sr_restore(f, m, b, upsample_fn=up),
-                f"naive_sr[{prov}]")
+        return _sr_knobs(lambda f, m, b: naive_sr_restore(f, m, b, upsample_fn=up),
+                         f"naive_sr[{prov}]")
     raise ValueError(f"unknown SR backend {name!r}")
 
 
@@ -200,16 +279,25 @@ def resolve_deblur_backend(name: str, config) -> Tuple[BackendFn, str]:
 
     max_rounds = config.gaussian_max_rounds
     auto = getattr(config, "auto_load_checkpoints", True)
+    # Reference InstantIR slot plumbing: per-worker chunk length
+    # (elvis.py:3124-3158) bounds this stage's frame chunks; batch_size
+    # (elvis.py:3000) bounds frames per diffusion invocation.
+    stage_chunk = getattr(config, "instantir_parallel_chunk_length", None)
+
+    def _deblur_knobs(fn, prov):
+        if stage_chunk:
+            fn.frame_chunk = int(stage_chunk)
+        return fn, prov
 
     def unsharp(f, m, b):
         return restore_blur_unsharp(f, m, b, max_rounds)
 
     if name == "unsharp":
-        return unsharp, "unsharp"
+        return _deblur_knobs(unsharp, "unsharp")
     if name in ("deblur_net", "neural", "instantir"):
         path = default_params_path("deblur", config.deblur_params_path, auto)
         if not path:
-            return unsharp, "unsharp (no deblur checkpoint)"
+            return _deblur_knobs(unsharp, "unsharp (no deblur checkpoint)")
         from elvis_tpu.models import DeblurUNet
         from elvis_tpu.models.io import load_params
 
@@ -227,7 +315,7 @@ def resolve_deblur_backend(name: str, config) -> Tuple[BackendFn, str]:
         # InpaintNet, so halve the per-invocation pixel budget.
         deblur.spatial_halo_rows = 64
         deblur.spatial_pixel_budget = 3 << 20
-        return deblur, f"deblur_net:{path}"
+        return _deblur_knobs(deblur, f"deblur_net:{path}")
     if name == "diffusion":
         # The InstantIR slot's diffusion path, with SHIPPED weights
         # (checkpoints/diffusion, round 3): trajectory-consistent
@@ -243,24 +331,39 @@ def resolve_deblur_backend(name: str, config) -> Tuple[BackendFn, str]:
         if not path:
             # an untrained diffusion model hallucinates noise — never a
             # valid fallback; degrade to the classical restorer instead
-            return unsharp, "unsharp (no diffusion checkpoint)"
+            return _deblur_knobs(unsharp, "unsharp (no diffusion checkpoint)")
         import orbax.checkpoint as ocp
 
         from elvis_tpu.models import DiffusionRestorer
 
         d = DiffusionRestorer()
         abstract = jax.eval_shape(lambda: d.init(jax.random.PRNGKey(0)))
-        params = ocp.StandardCheckpointer().restore(os.path.abspath(path), abstract)
+        from elvis_tpu.models.io import host_params
+
+        params = host_params(
+            ocp.StandardCheckpointer().restore(os.path.abspath(path), abstract)
+        )
+        seed = getattr(config, "instantir_seed", None)
+        rng = jax.random.PRNGKey(0 if seed is None else int(seed))
 
         def diffusion(f, m, b):
             return d.restore_adaptive(params, f.astype(jnp.float32), m, b,
-                                      max_rounds=max_rounds)
+                                      max_rounds=max_rounds, rng=rng)
 
-        return diffusion, f"diffusion:{path}"
+        # frames per diffusion invocation = the reference's batch_size
+        # (elvis.py:3000); the stage chunk knob may bound it further
+        batch = int(getattr(config, "instantir_batch_size", 0) or 0)
+        if batch > 0:
+            diffusion.frame_chunk = min(batch, int(stage_chunk)) if stage_chunk else batch
+        elif stage_chunk:
+            diffusion.frame_chunk = int(stage_chunk)
+        return diffusion, f"diffusion:{path}[seed={0 if seed is None else int(seed)}]"
     if name == "naive_diffusion":
         from elvis_tpu.restore.level_seq import naive_diffusion_restore
 
-        return naive_diffusion_restore, "naive_diffusion"
+        return _deblur_knobs(
+            lambda f, m, b: naive_diffusion_restore(f, m, b), "naive_diffusion"
+        )
     raise ValueError(f"unknown deblur backend {name!r}")
 
 
@@ -304,22 +407,49 @@ def resolve_inpaint_backend(name: str, config) -> Tuple[BackendFn, str]:
     if name == "temporal":
         w = _propainter_window(config)
         ov = int(config.propainter_chunk_overlap or 2 * w)
+        refs = int(getattr(config, "propainter_ref_stride", 0) or 0)
 
         def temporal(f, m, b):
-            return restore_removal_temporal(f, m, b, window=w)
+            return restore_removal_temporal(f, m, b, window=w, ref_stride=refs)
 
+        temporal = _with_hole_dilation(
+            temporal, int(getattr(config, "propainter_mask_dilation", 0) or 0)
+        )
+        temporal = _with_resize_ratio(
+            temporal, float(getattr(config, "propainter_resize_ratio", 1.0) or 1.0)
+        )
         temporal.temporal_overlap = ov
-        return temporal, f"temporal_propagation[window={w},overlap={ov}]"
+        chunk = getattr(config, "propainter_parallel_chunk_length", None)
+        if chunk:
+            temporal.frame_chunk = int(chunk)
+        return temporal, (
+            f"temporal_propagation[window={w},overlap={ov},ref_stride={refs}]"
+        )
     if name in ("neural", "inpaint_net", "e2fgvi"):
         w = _e2fgvi_window(config)
         ov = int(config.e2fgvi_chunk_overlap or 2 * w)
+        # E2FGVI's non-local reference set (elvis.py:1693 plumbing):
+        # every ref_stride-th frame, capped at num_ref (-1 = all)
+        refs = int(getattr(config, "e2fgvi_ref_stride", 0) or 0)
+        nref = int(getattr(config, "e2fgvi_num_ref", -1))
+        dil = int(getattr(config, "e2fgvi_mask_dilation", 0) or 0)
+        chunk = getattr(config, "e2fgvi_parallel_chunk_length", None)
+
+        def _e2_knobs(fn):
+            fn.temporal_overlap = ov
+            if chunk:
+                fn.frame_chunk = int(chunk)
+            return fn
+
         path = default_params_path("inpaint", config.inpaint_params_path, auto)
         if not path:
             def fallback(f, m, b):
-                seeded = restore_removal_temporal(f, m, b, window=w)
+                seeded = restore_removal_temporal(
+                    f, m, b, window=w, ref_stride=refs, max_refs=nref
+                )
                 return restore_removal_diffusion(jnp.asarray(seeded), m, b, iters=40)
 
-            fallback.temporal_overlap = ov
+            fallback = _e2_knobs(_with_hole_dilation(fallback, dil))
             return fallback, f"temporal+pde (no inpaint checkpoint)[window={w}]"
         from elvis_tpu.models import InpaintNet
         from elvis_tpu.models.io import load_params
@@ -331,11 +461,12 @@ def resolve_inpaint_backend(name: str, config) -> Tuple[BackendFn, str]:
 
         def neural(f, m, b):
             seeded = jnp.asarray(
-                restore_removal_temporal(f, m, b, window=w)
+                restore_removal_temporal(f, m, b, window=w, ref_stride=refs,
+                                         max_refs=nref)
             ).astype(jnp.float32)
             return net.apply(params, seeded, m, b)
 
-        neural.temporal_overlap = ov
+        neural = _e2_knobs(_with_hole_dilation(neural, dil))
         # Two-phase split for the long-clip chunked driver: the
         # propagation SEED needs the full window of temporal context (ov,
         # default 2*w=20) but the polish net only its +-temporal_window=2
@@ -350,14 +481,19 @@ def resolve_inpaint_backend(name: str, config) -> Tuple[BackendFn, str]:
         # identically in both paths).
         def seed(f, m, b):
             return jnp.asarray(
-                restore_removal_temporal(f, m, b, window=w)
+                restore_removal_temporal(f, m, b, window=w, ref_stride=refs,
+                                         max_refs=nref)
             ).astype(jnp.float32)
 
         def post(f, m, b):
             return net.apply(params, f, m, b)
 
+        seed = _with_hole_dilation(seed, dil)
+        post = _with_hole_dilation(post, dil)
         seed.temporal_overlap = ov
         post.temporal_overlap = int(net.temporal_window)
+        if chunk:
+            seed.frame_chunk = post.frame_chunk = int(chunk)
         # Receptive-field bound for single-chip height tiling (pipeline
         # _apply_height_tiled): enc/dec 3x3 stack + one stride-2 level
         # reaches ~12 rows; 16 is the block-aligned bound. Without tiling

@@ -82,6 +82,8 @@ def restore_removal_temporal(
     iters: int = 60,
     window: int = 8,
     motion_radius: int = 4,
+    ref_stride: int = 0,
+    max_refs: int = -1,
 ) -> jnp.ndarray:
     """Fill each removed block from the temporally nearest frame (within
     +-``window``) where its CONTENT survives — warped along accumulated
@@ -100,14 +102,18 @@ def restore_removal_temporal(
     ``motion_radius=0`` disables compensation (the zero-motion variant,
     kept as the cheap path and as the ablation baseline). The search is
     windowed (O(N*window)); blocks with no clean warped source in the
-    window fall back to PDE diffusion.
+    window try the NON-LOCAL reference frames — every ``ref_stride``-th
+    frame of the clip, ProPainter's global reference set
+    (``propainter_ref_stride``, reference elvis.py:1458 plumbing;
+    0 disables) — and only then fall back to PDE diffusion.
     """
     n = frames.shape[0]
     removed = removal_mask.astype(bool)  # (N,By,Bx)
     by, bx = removed.shape[1], removed.shape[2]
 
     zero_cum = jnp.zeros((n, by, bx, 2), jnp.int32)
-    out = _propagate_fill(frames, removed, zero_cum, block_size, window, iters)
+    out = _propagate_fill(frames, removed, zero_cum, block_size, window, iters,
+                          ref_stride, max_refs)
     if motion_radius > 0 and n > 1:
         from elvis_tpu.ops.color import rgb_to_gray
         from elvis_tpu.ops.motion import block_motion
@@ -132,7 +138,8 @@ def restore_removal_temporal(
         # Co-located accumulation: exact for global pans, approximate for
         # locally smooth object motion.
         cum = jnp.cumsum(mv, axis=0)  # (N,By,Bx,2) pixels
-        out = _propagate_fill(frames, removed, cum, block_size, window, iters)
+        out = _propagate_fill(frames, removed, cum, block_size, window, iters,
+                              ref_stride, max_refs)
     if jnp.issubdtype(frames.dtype, jnp.integer):
         out = jnp.clip(jnp.round(out), 0, 255)
     return out.astype(frames.dtype)
@@ -145,11 +152,14 @@ def _propagate_fill(
     block_size: int,
     window: int,
     iters: int,
+    ref_stride: int = 0,
+    max_refs: int = -1,
 ) -> jnp.ndarray:
     """One propagation pass: nearest clean (warped) temporal source per
     removed block, pixel gather along the displacement, PDE fallback.
     ``cum`` is the per-block cumulative motion (pixels); zeros = the
-    co-located variant."""
+    co-located variant. ``ref_stride`` adds ProPainter's non-local
+    reference frames (every stride-th frame) as lower-priority sources."""
     n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
     by, bx = removed.shape[1], removed.shape[2]
     t_idx = jnp.arange(n)
@@ -160,35 +170,53 @@ def _propagate_fill(
     best_dy = jnp.zeros(removed.shape, jnp.int32)
     best_dx = jnp.zeros(removed.shape, jnp.int32)
     bs = block_size
+
+    def consider(state, s_idx):
+        """Fold candidate source frames ``s_idx`` (per target frame) into
+        the first-clean-wins (best_src, best_dy, best_dx) state."""
+        best_src, best_dy, best_dx = state
+        # content at (t, p) sits at (s, p - (cum[t] - cum[s]))
+        disp = cum - cum[s_idx]  # (N,By,Bx,2) pixels
+        # The warped read region [p*bs - disp, +bs) straddles up to 4
+        # source blocks when disp is not block-aligned; ALL of them
+        # must be clean and in-frame, else a partial read would pull
+        # removed (black) pixels into the fill.
+        y0 = grid_by * bs - disp[..., 0]
+        x0 = grid_bx * bs - disp[..., 1]
+        qy_lo, qy_hi = y0 // bs, (y0 + bs - 1) // bs
+        qx_lo, qx_hi = x0 // bs, (x0 + bs - 1) // bs
+        inb = (y0 >= 0) & (y0 + bs <= h) & (x0 >= 0) & (x0 + bs <= w)
+
+        def _ok(qy, qx):
+            qyc = jnp.clip(qy, 0, by - 1)
+            qxc = jnp.clip(qx, 0, bx - 1)
+            return ~removed[s_idx[:, None, None], qyc, qxc]
+
+        clean = (
+            inb
+            & _ok(qy_lo, qx_lo) & _ok(qy_lo, qx_hi)
+            & _ok(qy_hi, qx_lo) & _ok(qy_hi, qx_hi)
+        )
+        take = (best_src < 0) & clean & (s_idx != t_idx)[:, None, None]
+        best_src = jnp.where(take, s_idx[:, None, None], best_src)
+        best_dy = jnp.where(take, disp[..., 0], best_dy)
+        best_dx = jnp.where(take, disp[..., 1], best_dx)
+        return best_src, best_dy, best_dx
+
+    state = (best_src, best_dy, best_dx)
     for d in range(1, window + 1):
         for delta in (-d, d):
-            s_idx = jnp.clip(t_idx + delta, 0, n - 1)  # (N,)
-            # content at (t, p) sits at (s, p - (cum[t] - cum[s]))
-            disp = cum - cum[s_idx]  # (N,By,Bx,2) pixels
-            # The warped read region [p*bs - disp, +bs) straddles up to 4
-            # source blocks when disp is not block-aligned; ALL of them
-            # must be clean and in-frame, else a partial read would pull
-            # removed (black) pixels into the fill.
-            y0 = grid_by * bs - disp[..., 0]
-            x0 = grid_bx * bs - disp[..., 1]
-            qy_lo, qy_hi = y0 // bs, (y0 + bs - 1) // bs
-            qx_lo, qx_hi = x0 // bs, (x0 + bs - 1) // bs
-            inb = (y0 >= 0) & (y0 + bs <= h) & (x0 >= 0) & (x0 + bs <= w)
-
-            def _ok(qy, qx, s_idx=s_idx):
-                qyc = jnp.clip(qy, 0, by - 1)
-                qxc = jnp.clip(qx, 0, bx - 1)
-                return ~removed[s_idx[:, None, None], qyc, qxc]
-
-            clean = (
-                inb
-                & _ok(qy_lo, qx_lo) & _ok(qy_lo, qx_hi)
-                & _ok(qy_hi, qx_lo) & _ok(qy_hi, qx_hi)
-            )
-            take = (best_src < 0) & clean & (s_idx != t_idx)[:, None, None]
-            best_src = jnp.where(take, s_idx[:, None, None], best_src)
-            best_dy = jnp.where(take, disp[..., 0], best_dy)
-            best_dx = jnp.where(take, disp[..., 1], best_dx)
+            state = consider(state, jnp.clip(t_idx + delta, 0, n - 1))
+    if ref_stride and ref_stride > 0:
+        # Non-local references: tried only where the local window found no
+        # clean source (first-clean-wins state), so they are strictly a
+        # fallback ahead of PDE diffusion.
+        refs = list(range(0, n, int(ref_stride)))
+        if max_refs and max_refs > 0:
+            refs = refs[: int(max_refs)]  # e2fgvi_num_ref cap (-1 = all)
+        for r_ in refs:
+            state = consider(state, jnp.full((n,), r_, dtype=t_idx.dtype))
+    best_src, best_dy, best_dx = state
     never_avail = best_src < 0
     src = jnp.where(never_avail, t_idx[:, None, None], best_src)
 
