@@ -84,10 +84,10 @@ class NvcPipelineCodec(PipelineCodec):
     name = "nvc"
 
     def __init__(self, *, b_frames: bool = False, me_radius: int = 4,
-                 multi_ref: bool = False):
+                 multi_ref: bool = False, deblock: bool = False):
         self._codec = NvcCodec()
         self._kw = dict(b_frames=b_frames, me_radius=me_radius,
-                        multi_ref=multi_ref)
+                        multi_ref=multi_ref, deblock=deblock)
 
     def encode(self, frames, *, target_bitrate, framerate, gop):
         return self._codec.encode(
@@ -316,11 +316,13 @@ def make_pipeline_codec(
     *, preset: str = "medium", pix_fmt: str = "yuv420p",
     quality: str = "medium", nvc_b_frames: bool = False,
     nvc_me_radius: int = 4, nvc_multi_ref: bool = False,
+    nvc_deblock: bool = False,
 ) -> PipelineCodec:
     codecs: Dict[str, callable] = {
         "nvc": lambda: NvcPipelineCodec(b_frames=nvc_b_frames,
                                         me_radius=nvc_me_radius,
-                                        multi_ref=nvc_multi_ref),
+                                        multi_ref=nvc_multi_ref,
+                                        deblock=nvc_deblock),
         "x265": lambda: X265PipelineCodec(workdir, width, height, preset, pix_fmt),
         "kvazaar": lambda: KvazaarPipelineCodec(workdir, width, height, quality),
         "svtav1": lambda: SvtAv1PipelineCodec(workdir, width, height, quality),

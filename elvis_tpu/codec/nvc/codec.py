@@ -103,13 +103,14 @@ def _chroma_qp(luma_qp: np.ndarray) -> np.ndarray:
     return np.clip(np.round(q), 0, 51).astype(np.int32)
 
 
-_decode_plane_jit = jax.jit(decode_plane, static_argnums=(4, 5, 6, 7))
+_decode_plane_jit = jax.jit(decode_plane, static_argnums=(4, 5, 6, 7),
+                            static_argnames=("deblock",))
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
-def _decode_plane_chunk_jit(lv, m, v, qp, h, w, reach, mref, init):
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 9))
+def _decode_plane_chunk_jit(lv, m, v, qp, h, w, reach, mref, init, deblock=False):
     r = decode_plane(lv, m, v, qp, h, w, reach=reach, multi_ref=mref,
-                     init_recon=(init[0], init[1]))
+                     init_recon=(init[0], init[1]), deblock=deblock)
     return r, jnp.stack([r[-1], r[max(r.shape[0] - 2, 0)]])
 
 
@@ -144,16 +145,17 @@ def _unpack_levels(packed: np.ndarray) -> np.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
 def _encode_planes_jit(rgb, qp_y, qp_c, gop, me_radius, me_step, me_halfpel,
-                       b_frames=False, b_qp_offset=2, multi_ref=False):
+                       b_frames=False, b_qp_offset=2, multi_ref=False,
+                       deblock=False):
     # color conversion lives inside the SAME graph as the chunked path
     # (_encode_planes_chunk_jit) so both produce identical float yuv and
     # the chunked stream stays bit-exact vs single-scan
     y, cb, cr = rgb_to_yuv420(rgb.astype(jnp.float32))
     enc = encode_plane_b if b_frames else encode_plane
     kw = dict(gop=gop, me_radius=me_radius, me_step=me_step, me_halfpel=me_halfpel,
-              multi_ref=multi_ref)
+              multi_ref=multi_ref, deblock=deblock)
     if b_frames:
         kw["b_qp_offset"] = b_qp_offset
     ly, my, vy, _ = enc(y, qp_y, **kw)
@@ -183,15 +185,16 @@ def _chunk_frames_for(n: int, h: int, w: int, chunk_frames: Optional[int]) -> in
     return max(2, _CHUNK_PIXEL_BUDGET // (h * w))
 
 
-@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
 def _encode_planes_chunk_jit(rgb, qp_y, qp_c, fi, init_y, init_cb, init_cr,
-                             me_radius, me_step, me_halfpel, multi_ref):
+                             me_radius, me_step, me_halfpel, multi_ref,
+                             deblock=False):
     # color conversion happens INSIDE the per-segment graph: converting
     # the whole clip up front would itself hold ~5 GB on device at 128
     # frames @1080p, defeating the chunking
     y, cb, cr = rgb_to_yuv420(rgb.astype(jnp.float32))
     kw = dict(me_radius=me_radius, me_step=me_step, me_halfpel=me_halfpel,
-              multi_ref=multi_ref)
+              multi_ref=multi_ref, deblock=deblock)
     ckw = dict(kw, me_radius=max(me_radius // 2, 0))
     ly, my, vy, ry = encode_plane(
         y, qp_y, force_intra=fi, init_recon=(init_y[0], init_y[1]), **kw
@@ -212,7 +215,7 @@ def _encode_planes_chunk_jit(rgb, qp_y, qp_c, fi, init_y, init_cb, init_cr,
 
 
 def _encode_planes_chunked(padded, qp_y, qp_c, gop, me_radius, me_step,
-                           me_halfpel, multi_ref, chunk):
+                           me_halfpel, multi_ref, chunk, deblock=False):
     """padded: HOST uint8 (N,H,W,3); each segment is pushed, converted,
     and encoded on device independently — peak HBM is one segment."""
     n, h, w = padded.shape[:3]
@@ -228,7 +231,7 @@ def _encode_planes_chunked(padded, qp_y, qp_c, gop, me_radius, me_step,
             jnp.asarray(padded[s:e]),  # uint8 push; f32 in-graph
             jnp.asarray(qp_y[s:e]), jnp.asarray(qp_c[s:e]),
             jnp.asarray(fi_all[s:e]), init_y, init_cb, init_cr,
-            me_radius, me_step, me_halfpel, multi_ref,
+            me_radius, me_step, me_halfpel, multi_ref, deblock,
         )
         for i in range(9):
             acc[i].append(np.asarray(out[i]))
@@ -288,8 +291,14 @@ def encode(
     b_qp_offset: int = 2,
     multi_ref: bool = False,
     chunk_frames: Optional[int] = None,
+    deblock: bool = False,
 ) -> bytes:
     """frames ``(N, H, W, 3)`` uint8 RGB -> NVC bitstream bytes.
+
+    ``deblock``: H.264-style in-loop deblocking of every reference
+    reconstruction (transform.deblock_plane); carried as header flag bit
+    0x02 so the decoder filters identically — drift-free by
+    construction. Off by default (streams stay byte-identical to r3).
 
     ``chunk_frames``: frames per bounded-memory encode segment (None =
     auto: ~64M luma pixels per segment, i.e. 32 frames at 1080p —
@@ -328,7 +337,7 @@ def encode(
     if not b_frames and n > chunk:
         ly, my, vy, lcb, mcb, vcb, lcr, mcr, vcr = _encode_planes_chunked(
             padded, qp_y, qp_c, int(gop), me_radius, me_step,
-            me_halfpel, bool(multi_ref), chunk,
+            me_halfpel, bool(multi_ref), chunk, bool(deblock),
         )
     else:
         ly, my, vy, lcb, mcb, vcb, lcr, mcr, vcr = map(
@@ -336,7 +345,7 @@ def encode(
             _encode_planes_jit(
                 jnp.asarray(padded), jnp.asarray(qp_y), jnp.asarray(qp_c),
                 int(gop), me_radius, me_step, me_halfpel, bool(b_frames),
-                int(b_qp_offset), bool(multi_ref),
+                int(b_qp_offset), bool(multi_ref), bool(deblock),
             ),
         )
     # level planes arrive f32-bitcast-PACKED (two int16 per word) to halve
@@ -347,7 +356,9 @@ def encode(
     header = _MAGIC + struct.pack(
         "<BBHHHfbHB",
         3,  # version (3 = b_frames byte present)
-        1 if roi_delta_qp is not None else 0,
+        # flags byte: bit 0 = per-block ROI QP map section present,
+        # bit 1 = in-loop deblocking (decoder must filter identically)
+        (1 if roi_delta_qp is not None else 0) | (2 if deblock else 0),
         orig_w,
         orig_h,
         n,
@@ -392,27 +403,28 @@ def encode(
 
 def _read_header(stream: bytes):
     """Parse a v2 or v3 header -> (version, has_roi, w, h, n, fps, qp,
-    gop, b_byte, payload_offset). ``b_byte``: 0 = P-only, k>0 = B frames
-    with b_qp_offset = k-1."""
+    gop, b_byte, deblock, payload_offset). ``b_byte``: 0 = P-only, k>0 =
+    B frames with b_qp_offset = k-1. ``has_roi``/``deblock`` are bits 0/1
+    of the flags byte (pre-deblock streams only ever wrote 0/1 there)."""
     assert stream[:4] == _MAGIC, "not an NVC stream"
     if stream[4] >= 3:
         fmt = "<BBHHHfbHB"
-        version, has_roi, w, h, n, fps, qp, gop, bfr = struct.unpack_from(fmt, stream, 4)
+        version, flags, w, h, n, fps, qp, gop, bfr = struct.unpack_from(fmt, stream, 4)
     else:
         fmt = "<BBHHHfbH"
-        version, has_roi, w, h, n, fps, qp, gop = struct.unpack_from(fmt, stream, 4)
+        version, flags, w, h, n, fps, qp, gop = struct.unpack_from(fmt, stream, 4)
         bfr = 0
-    return version, has_roi, w, h, n, fps, qp, gop, int(bfr), 4 + struct.calcsize(fmt)
+    return (version, flags & 1, w, h, n, fps, qp, gop, int(bfr),
+            bool(flags & 2), 4 + struct.calcsize(fmt))
 
 
-_decode_plane_b_jit = jax.jit(decode_plane_b, static_argnums=(4, 5, 6, 7, 8))
+_decode_plane_b_jit = jax.jit(decode_plane_b, static_argnums=(4, 5, 6, 7, 8, 9))
 
 
 def decode(stream: bytes) -> Tuple[np.ndarray, float]:
     """NVC bitstream -> (frames (N,H,W,3) uint8 RGB, framerate)."""
-    version, has_roi, orig_w, orig_h, n, fps, base_qp, gop, bfr, off = _read_header(
-        stream
-    )
+    (version, has_roi, orig_w, orig_h, n, fps, base_qp, gop, bfr,
+     deblock, off) = _read_header(stream)
     buf = memoryview(stream)
 
     h = orig_h + ((-orig_h) % _PAD)
@@ -486,13 +498,15 @@ def decode(stream: bytes) -> Tuple[np.ndarray, float]:
             e = min(s + chunk, n)
             yk, init_y = _decode_plane_chunk_jit(
                 as_f32(ly[s:e]), jnp.asarray(my[s:e]), jnp.asarray(vy[s:e]),
-                jnp.asarray(qp_y[s:e]), h, w, r_y, m_y, init_y)
+                jnp.asarray(qp_y[s:e]), h, w, r_y, m_y, init_y, deblock)
             cbk, init_cb = _decode_plane_chunk_jit(
                 as_f32(lcb[s:e]), jnp.asarray(mcb[s:e]), jnp.asarray(vcb[s:e]),
-                jnp.asarray(qp_c[s:e]), h // 2, w // 2, r_cb, m_cb, init_cb)
+                jnp.asarray(qp_c[s:e]), h // 2, w // 2, r_cb, m_cb, init_cb,
+                deblock)
             crk, init_cr = _decode_plane_chunk_jit(
                 as_f32(lcr[s:e]), jnp.asarray(mcr[s:e]), jnp.asarray(vcr[s:e]),
-                jnp.asarray(qp_c[s:e]), h // 2, w // 2, r_cr, m_cr, init_cr)
+                jnp.asarray(qp_c[s:e]), h // 2, w // 2, r_cr, m_cr, init_cr,
+                deblock)
             rgb = yuv420_to_rgb(yk, cbk, crk)
             rgb = jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
             parts.append(pull(rgb[:, :orig_h, :orig_w]))
@@ -500,9 +514,9 @@ def decode(stream: bytes) -> Tuple[np.ndarray, float]:
 
     if bfr:
         boff = bfr - 1
-        dec = lambda *a: _decode_plane_b_jit(*a[:-1], boff, a[-1])
+        dec = lambda *a: _decode_plane_b_jit(*a[:-1], boff, a[-1], deblock)
     else:
-        dec = _decode_plane_jit
+        dec = lambda *a: _decode_plane_jit(*a, deblock=deblock)
     y = dec(as_f32(ly), jnp.asarray(my), jnp.asarray(vy), jnp.asarray(qp_y), h, w, _reach_of(vy), _mref(my))
     cb = dec(as_f32(lcb), jnp.asarray(mcb), jnp.asarray(vcb), jnp.asarray(qp_c), h // 2, w // 2, _reach_of(vcb), _mref(mcb))
     cr = dec(as_f32(lcr), jnp.asarray(mcr), jnp.asarray(vcr), jnp.asarray(qp_c), h // 2, w // 2, _reach_of(vcr), _mref(mcr))
@@ -519,7 +533,7 @@ def luma_modes(stream: bytes) -> np.ndarray:
     v3 ``b_frames`` streams additionally carry MODE_INTER_BWD=2 /
     MODE_INTER_BI=3 on odd (B) frames (mode 2 on their even P chain is
     again the two-back reference)."""
-    _, has_roi, orig_w, orig_h, n, _, _, _, _, off = _read_header(stream)
+    _, has_roi, orig_w, orig_h, n, _, _, _, _, _, off = _read_header(stream)
     buf = memoryview(stream)
     h = orig_h + ((-orig_h) % _PAD)
     w = orig_w + ((-orig_w) % _PAD)
@@ -538,8 +552,8 @@ class NvcCodec:
     name = "nvc"
 
     def probe(self, stream: bytes) -> NvcStream:
-        version, has_roi, orig_w, orig_h, n, fps, base_qp, gop, _, _ = _read_header(
-            stream
+        version, has_roi, orig_w, orig_h, n, fps, base_qp, gop, _, _, _ = (
+            _read_header(stream)
         )
         return NvcStream(orig_w, orig_h, n, fps, base_qp, bool(has_roi), len(stream))
 
@@ -559,13 +573,14 @@ class NvcCodec:
         b_qp_offset: int = 2,
         multi_ref: bool = False,
         chunk_frames: Optional[int] = None,
+        deblock: bool = False,
     ) -> bytes:
         if (qp is None) == (target_bitrate is None):
             raise ValueError("specify exactly one of qp / target_bitrate")
         kw = dict(framerate=framerate, roi_delta_qp=roi_delta_qp, gop=gop,
                   me_radius=me_radius, me_step=me_step, me_halfpel=me_halfpel,
                   b_frames=b_frames, b_qp_offset=b_qp_offset, multi_ref=multi_ref,
-                  chunk_frames=chunk_frames)
+                  chunk_frames=chunk_frames, deblock=deblock)
         if qp is not None:
             return encode(frames, qp=qp, **kw)
 

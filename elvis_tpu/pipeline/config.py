@@ -151,6 +151,7 @@ class ElvisConfig:
     nvc_me_radius: int = 4             # NVC: per-frame motion budget in pels
                                        # (>7 engages the hierarchical search)
     nvc_multi_ref: bool = False        # NVC: two-reference P prediction
+    nvc_deblock: bool = False          # NVC: in-loop deblocking filter
     saliency_backend: str = "motion_contrast"
     # Backend lists drive the restoration approach rows (restore.backends):
     # the first entry fills the reference's label for that slot, extra

@@ -566,6 +566,7 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         preset=config.encode_preset, pix_fmt=config.encode_pix_fmt,
         quality=config.quality_preset, nvc_b_frames=config.nvc_b_frames,
         nvc_me_radius=config.nvc_me_radius, nvc_multi_ref=config.nvc_multi_ref,
+        nvc_deblock=config.nvc_deblock,
     )
     # ~1-second keyframe interval like the reference's `-g framerate`
     # (elvis.py:1298) — bounds seek/error propagation.

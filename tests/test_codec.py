@@ -410,7 +410,8 @@ class TestMotionCompensation:
         c = make_pipeline_codec("nvc", str(tmp_path), 64, 48,
                                 nvc_b_frames=True, nvc_me_radius=9,
                                 nvc_multi_ref=True)
-        assert c._kw == {"b_frames": True, "me_radius": 9, "multi_ref": True}
+        assert c._kw == {"b_frames": True, "me_radius": 9, "multi_ref": True,
+                         "deblock": False}
 
     def test_dc_dpcm_saves_bytes_and_is_lossless(self, rng, monkeypatch):
         """DC-level DPCM (JPEG-style) is a lossless entropy-side
@@ -818,3 +819,110 @@ class TestLevelPacking:
         assert packed.shape == (3, 2, 5, 32)
         out = nvc_codec._unpack_levels(np.asarray(packed))
         np.testing.assert_array_equal(out, lv.astype(np.int16))
+
+
+class TestDeblock:
+    """In-loop deblocking (transform.deblock_plane, header flag 0x02):
+    H.264-style QP-adaptive weak filter on every reference
+    reconstruction, applied identically by encoder and decoder."""
+
+    def _gradient_clip(self, n=10, h=96, w=144):
+        yy, xx = np.mgrid[0:h, 0:w]
+        clip = np.stack(
+            [np.clip(60 + 0.6 * xx + 0.4 * yy + 2 * t, 0, 255) for t in range(n)]
+        )
+        return np.repeat(clip[..., None], 3, -1).astype(np.uint8)
+
+    @staticmethod
+    def _psnr(a, b):
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+        return 10 * np.log10(255 * 255 / mse)
+
+    def test_filter_smooths_quantization_steps_keeps_real_edges(self):
+        import jax.numpy as jnp
+
+        from elvis_tpu.codec.nvc.transform import deblock_plane, qstep_from_qp
+
+        qs_map = qstep_from_qp(jnp.full((2, 2), 40, jnp.int32))
+        qstep = float(qs_map[0, 0])
+        # small step at the block boundary (quantization-sized): smoothed
+        plane = np.full((16, 16), 100.0, np.float32)
+        plane[:, 8:] = 100.0 + 0.5 * qstep
+        out = np.asarray(deblock_plane(jnp.asarray(plane), qs_map))
+        assert abs(out[0, 8] - out[0, 7]) < 0.5 * qstep
+        # large step (real content edge, > threshold): untouched
+        plane2 = np.full((16, 16), 60.0, np.float32)
+        plane2[:, 8:] = 200.0
+        out2 = np.asarray(deblock_plane(jnp.asarray(plane2), qs_map))
+        np.testing.assert_array_equal(out2, plane2)
+
+    def test_encoder_decoder_recon_sync_with_deblock(self, tiny_video):
+        """Drift check: the filtered encoder reconstruction must equal the
+        decoder's filtered output exactly."""
+        import jax.numpy as jnp
+
+        from elvis_tpu.codec.nvc.transform import decode_plane, encode_plane
+        from elvis_tpu.ops.color import rgb_to_yuv420
+
+        y, _, _ = rgb_to_yuv420(jnp.asarray(tiny_video).astype(jnp.float32))
+        qp = jnp.full((5, 6, 8), 40, jnp.int32)
+        levels, modes, mvs, recons = encode_plane(y, qp, deblock=True)
+        dec = decode_plane(levels, modes, mvs, qp, 48, 64, deblock=True)
+        np.testing.assert_allclose(np.asarray(dec), np.asarray(recons), atol=1e-4)
+
+    def test_container_flag_roundtrip_and_gain_at_low_rate(self):
+        """The header flag engages the decoder filter; on smooth-gradient
+        content at low rate the in-loop filter must GAIN PSNR (the
+        blocking artifact case it exists for)."""
+        from elvis_tpu.codec.nvc import codec as C
+
+        rgb = self._gradient_clip()
+        s_off = C.encode(rgb, qp=44, gop=8)
+        s_on = C.encode(rgb, qp=44, gop=8, deblock=True)
+        # flags byte: bit 0 roi (absent), bit 1 deblock
+        assert s_off[5] == 0 and s_on[5] == 2
+        d_off, _ = C.decode(s_off)
+        d_on, _ = C.decode(s_on)
+        assert self._psnr(rgb, d_on) > self._psnr(rgb, d_off) + 0.5
+
+    def test_default_streams_unchanged(self, tiny_video):
+        """deblock=False must not change a byte of existing streams."""
+        from elvis_tpu.codec.nvc import codec as C
+
+        assert C.encode(tiny_video, qp=32) == C.encode(tiny_video, qp=32,
+                                                       deblock=False)
+
+    def test_chunked_encode_decode_bit_exact_with_deblock(self, rng):
+        """The segment boundary carries the FILTERED reference: chunked
+        encode and decode must stay bit-exact vs single-scan."""
+        from elvis_tpu.codec.nvc import codec as C
+
+        rgb = self._gradient_clip(n=9, h=48, w=64)
+        single = C.encode(rgb, qp=40, gop=4, deblock=True)
+        chunked = C.encode(rgb, qp=40, gop=4, deblock=True, chunk_frames=3)
+        assert single == chunked
+        d1, _ = C.decode(single)
+        # force the chunked decode path too
+        import elvis_tpu.codec.nvc.codec as codec_mod
+        orig = codec_mod._chunk_frames_for
+        try:
+            codec_mod._chunk_frames_for = lambda n, h, w, c: 3
+            d2, _ = codec_mod.decode(single)
+        finally:
+            codec_mod._chunk_frames_for = orig
+        np.testing.assert_array_equal(d1, d2)
+
+    def test_b_frames_with_deblock_roundtrip(self, rng):
+        from elvis_tpu.codec.nvc import codec as C
+
+        rgb = self._gradient_clip(n=9, h=48, w=64)
+        s = C.encode(rgb, qp=40, gop=4, b_frames=True, deblock=True)
+        d, _ = C.decode(s)
+        assert d.shape == rgb.shape
+        assert self._psnr(rgb, d) > 28
+
+    def test_knob_flows_from_config(self, tmp_path):
+        from elvis_tpu.codec.dispatch import make_pipeline_codec
+
+        c = make_pipeline_codec("nvc", str(tmp_path), 64, 48, nvc_deblock=True)
+        assert c._kw["deblock"] is True
