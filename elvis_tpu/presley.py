@@ -16,6 +16,21 @@ Deliberate differences from the reference:
   * encoders: the hermetic NVC codec by default; kvazaar/SVT-AV1 via
     elvis_tpu.codec.external when the binaries exist;
   * restoration backends are registry slots, not hard-wired forks.
+
+Knob liveness (mirrors pipeline.config's ABSORBED_FIELDS policy):
+propainter_*/e2fgvi_* window/ref_stride/num_ref/mask_dilation and
+neural_tile_size/realesrgan_fp32/instantir_seed/instantir_steps/
+downsample_max_scale/metrics_to_exclude/save_intermediate all drive
+their mechanisms below. ABSORBED (no counterpart): propainter_raft_iter
+/ propainter_fp16 / realesrgan_denoise_strength / realesrgan_pre_pad /
+instantir_cfg / instantir_creative_start / instantir_preview_start
+(reasons in pipeline/config.py) and uav_* (the Upscale-A-Video slot's
+naive-neural row is filled by the in-framework SR tiers; UAV's
+noise/guidance/steps parameterize a model that has no counterpart) and
+context_halo (the reference's per-block neural tiles carried a context
+halo, utils.py:1227; restoration here is whole-frame — the analogous
+height-tile halo is neural_tile_size's tile_pad, fixed at the
+measured-exact 32 rows).
 """
 
 from __future__ import annotations
@@ -113,15 +128,22 @@ def run_presley(config: PresleyConfig) -> Dict:
     from elvis_tpu.codec import QUALITY_PRESETS, NvcCodec
     from elvis_tpu.core.blocks import blockwise_reduce
     from elvis_tpu.degrade import adaptive_blur, adaptive_downsample
+    from elvis_tpu.degrade.adaptive import adaptive_downsample_scale
     from elvis_tpu.degrade.shrink import shrink_video, stretch_video
-    from elvis_tpu.pipeline.io import load_clip
+    from elvis_tpu.pipeline.config import ElvisConfig
+    from elvis_tpu.pipeline.io import load_clip, save_frames_png
     from elvis_tpu.restore import (
         restore_blur_unsharp,
         restore_downsample_lanczos,
         restore_removal_diffusion,
-        restore_removal_temporal,
         temporal_blend,
     )
+    from elvis_tpu.restore.backends import (
+        resolve_deblur_backend,
+        resolve_inpaint_backend,
+        resolve_sr_backend,
+    )
+    from elvis_tpu.restore.lanczos import restore_downsample_scale_lanczos
     from elvis_tpu.scoring import (
         get_saliency_fn,
         importance_scores,
@@ -130,6 +152,25 @@ def run_presley(config: PresleyConfig) -> Dict:
     from elvis_tpu.utils import measure_performance
 
     os.makedirs(config.output_dir, exist_ok=True)
+    # Backend knobs route through the shared resolver (ElvisConfig field
+    # names match the reference's shared plumbing), so presley's window/
+    # ref/dilation/precision/seed knobs hit the same mechanisms run_elvis
+    # uses.
+    econf = ElvisConfig(
+        propainter_neighbor_length=config.propainter_neighbor_length,
+        propainter_subvideo_length=config.propainter_subvideo_length,
+        propainter_ref_stride=config.propainter_ref_stride,
+        propainter_mask_dilation=config.propainter_mask_dilation,
+        e2fgvi_neighbor_stride=config.e2fgvi_neighbor_stride,
+        e2fgvi_ref_stride=config.e2fgvi_ref_stride,
+        e2fgvi_num_ref=config.e2fgvi_num_ref,
+        e2fgvi_mask_dilation=config.e2fgvi_mask_dilation,
+        realesrgan_fp32=config.realesrgan_fp32,
+        realesrgan_tile=config.neural_tile_size,
+        instantir_seed=config.instantir_seed,
+        gaussian_max_rounds=config.blur_max_rounds,
+    )
+    econf.instantir_steps = config.instantir_steps  # presley-only knob
     preset = QUALITY_PRESETS[config.quality]
     qp = preset["nvc_qp"]
     qp_range = config.qp_range if config.qp_range is not None else preset["qp_range"]
@@ -156,6 +197,7 @@ def run_presley(config: PresleyConfig) -> Dict:
 
     codec = NvcCodec()
     results: Dict = {"config": dataclasses.asdict(config), "methods": {}}
+    mx = dict(exclude=config.metrics_to_exclude)
 
     def record(name, rec, stream_bytes=None):
         entry = {k: v for k, v in rec.items() if k != "output"}
@@ -163,7 +205,13 @@ def run_presley(config: PresleyConfig) -> Dict:
             entry["size_bytes"] = len(stream_bytes)
             entry["bitrate_kbps"] = len(stream_bytes) * 8 / duration / 1000
         results["methods"][name] = entry
-        return rec.get("output")
+        out = rec.get("output")
+        if config.save_intermediate and out is not None:
+            # per-method restored frames, like the reference's staged
+            # PNG artifacts (presley.py save_intermediate)
+            arr = np.clip(np.round(np.asarray(out)), 0, 255).astype(np.uint8)
+            save_frames_png(arr, os.path.join(config.output_dir, name))
+        return out
 
     # --- baseline encode (presley.py:1433-1436) ---------------------------
     stream = codec.encode(frames_np, qp=qp, framerate=fps)
@@ -171,7 +219,7 @@ def run_presley(config: PresleyConfig) -> Dict:
     record(
         "baseline",
         measure_performance(lambda f: decoded, frames_np, label="baseline",
-                            reference_frames=frames_np, fg_masks=fg_masks),
+                            reference_frames=frames_np, fg_masks=fg_masks, **mx),
         stream,
     )
 
@@ -183,14 +231,16 @@ def run_presley(config: PresleyConfig) -> Dict:
         s_dec, _ = codec.decode(s_stream)
         stretched = stretch_video(jnp.asarray(s_dec), plans, b)
         removal_mask = jnp.asarray(np.stack([p.removal_mask for p in plans]))
-        for inp_name, inp_fn in (
-            ("telea", restore_removal_diffusion),
-            ("propainter", restore_removal_temporal),
+        for inp_name, backend in (
+            ("telea", "diffusion"),
+            ("propainter", "temporal"),
+            ("e2fgvi", "neural"),
         ):
+            inp_fn, _prov = resolve_inpaint_backend(backend, econf)
             rec = measure_performance(
-                lambda f: inp_fn(stretched, removal_mask, b),
+                lambda f, fn=inp_fn: fn(stretched, removal_mask, b),
                 frames_np, label=f"shrink_{method}_{inp_name}",
-                reference_frames=frames_np, fg_masks=fg_masks,
+                reference_frames=frames_np, fg_masks=fg_masks, **mx,
             )
             record(f"shrink_{method}_{inp_name}", rec, s_stream)
 
@@ -203,7 +253,7 @@ def run_presley(config: PresleyConfig) -> Dict:
     record(
         "roi_nvc",
         measure_performance(lambda f: roi_dec, frames_np, label="roi_nvc",
-                            reference_frames=frames_np, fg_masks=fg_masks),
+                            reference_frames=frames_np, fg_masks=fg_masks, **mx),
         roi_stream,
     )
 
@@ -212,28 +262,64 @@ def run_presley(config: PresleyConfig) -> Dict:
     down, down_levels = adaptive_downsample(frames, removability, b)
     down_stream = codec.encode(np.asarray(down), qp=qp, framerate=fps)
     down_dec, _ = codec.decode(down_stream)
+    sr_naive, _ = resolve_sr_backend("naive_sr", econf)
+    sr_adapt, _ = resolve_sr_backend("realesrgan", econf)
     for name, fn in (
         ("lanczos", lambda f: restore_downsample_lanczos(
             jnp.asarray(down_dec), down_levels, b)),
         ("lanczos_tb", lambda f: temporal_blend(
             restore_downsample_lanczos(jnp.asarray(down_dec), down_levels, b),
             config.temporal_blend)),
+        # the reference's RealESRGAN naive/adaptive rows
+        # (presley.py:1495-1550) — trained SR tiers via the registry
+        ("realesrgan_naive", lambda f: sr_naive(
+            jnp.asarray(down_dec).astype(jnp.float32), down_levels, b)),
+        ("realesrgan_adaptive", lambda f: sr_adapt(
+            jnp.asarray(down_dec).astype(jnp.float32), down_levels, b)),
     ):
         record(f"downsample_{name}",
                measure_performance(fn, frames_np, label=f"downsample_{name}",
-                                   reference_frames=frames_np, fg_masks=fg_masks),
+                                   reference_frames=frames_np, fg_masks=fg_masks,
+                                   **mx),
                down_stream)
+
+    # scale-factor degradation variant (reference utils.py:1101-1168,
+    # presley.py:968-983) at the configured downsample_max_scale
+    down_s, scale_map = adaptive_downsample_scale(
+        frames, importance, b, config.downsample_max_scale)
+    ds_stream = codec.encode(np.asarray(down_s), qp=qp, framerate=fps)
+    ds_dec, _ = codec.decode(ds_stream)
+    record("downsample_scale_lanczos",
+           measure_performance(
+               lambda f: restore_downsample_scale_lanczos(
+                   jnp.asarray(ds_dec), scale_map, b,
+                   config.downsample_max_scale),
+               frames_np, label="downsample_scale_lanczos",
+               reference_frames=frames_np, fg_masks=fg_masks, **mx),
+           ds_stream)
 
     blur, blur_levels = adaptive_blur(frames, removability, b, config.blur_max_rounds)
     blur_stream = codec.encode(np.asarray(blur), qp=qp, framerate=fps)
     blur_dec, _ = codec.decode(blur_stream)
-    record("blur_unsharp",
-           measure_performance(
-               lambda f: restore_blur_unsharp(
-                   jnp.asarray(blur_dec), blur_levels, b, config.blur_max_rounds),
-               frames_np, label="blur_unsharp",
-               reference_frames=frames_np, fg_masks=fg_masks),
-           blur_stream)
+    deblur_rows = [("blur_unsharp", lambda f: restore_blur_unsharp(
+        jnp.asarray(blur_dec), blur_levels, b, config.blur_max_rounds))]
+    # the reference's InstantIR naive/adaptive rows (presley.py:1279-1419):
+    # the trained DeblurUNet holds the slot; the shipped diffusion
+    # restorer adds the heavy-blur specialist (instantir_seed/steps live)
+    for row, backend in (("blur_deblur_net", "deblur_net"),
+                         ("blur_instantir_adaptive", "diffusion"),
+                         ("blur_instantir_naive", "naive_diffusion")):
+        fn, _prov = resolve_deblur_backend(backend, econf)
+        deblur_rows.append(
+            (row, lambda f, fn=fn: fn(
+                jnp.asarray(blur_dec).astype(jnp.float32), blur_levels, b))
+        )
+    for row, fn in deblur_rows:
+        record(row,
+               measure_performance(fn, frames_np, label=row,
+                                   reference_frames=frames_np,
+                                   fg_masks=fg_masks, **mx),
+               blur_stream)
 
     out_path = os.path.join(config.output_dir, "performance_metrics.json")
     with open(out_path, "w") as f:

@@ -301,7 +301,19 @@ def resolve_deblur_backend(name: str, config) -> Tuple[BackendFn, str]:
         from elvis_tpu.models import DeblurUNet
         from elvis_tpu.models.io import load_params
 
-        net = DeblurUNet(max_strength=float(max_rounds))
+        # The conditioning contract (strength / max_strength) is set at
+        # TRAINING time; a checkpoint records its normalization in a
+        # sibling meta file. Using the runtime gaussian_max_rounds here
+        # mis-conditioned the net whenever it differed from the trained
+        # value (measured -9 dB at max_rounds=4 vs the trained 10).
+        trained_ms = float(max_rounds)
+        meta_path = path.rstrip("/") + ".meta.json"
+        if os.path.isfile(meta_path):
+            import json
+
+            with open(meta_path) as fh:
+                trained_ms = float(json.load(fh).get("max_strength", trained_ms))
+        net = DeblurUNet(max_strength=trained_ms)
         params = load_params(
             net, path, jnp.zeros((1, 16, 16, 3)), jnp.zeros((1, 2, 2), jnp.int32), 8
         )
@@ -345,10 +357,14 @@ def resolve_deblur_backend(name: str, config) -> Tuple[BackendFn, str]:
         )
         seed = getattr(config, "instantir_seed", None)
         rng = jax.random.PRNGKey(0 if seed is None else int(seed))
+        # presley's instantir_steps = denoising steps per strength round
+        # (reference presley.py:71; 0/absent = the model default)
+        spr = int(getattr(config, "instantir_steps", 0) or 0)
+        spr_kw = {"steps_per_round": spr} if spr > 0 else {}
 
         def diffusion(f, m, b):
             return d.restore_adaptive(params, f.astype(jnp.float32), m, b,
-                                      max_rounds=max_rounds, rng=rng)
+                                      max_rounds=max_rounds, rng=rng, **spr_kw)
 
         # frames per diffusion invocation = the reference's batch_size
         # (elvis.py:3000); the stage chunk knob may bound it further

@@ -316,6 +316,16 @@ def train_deblur(steps: int, ckpt_dir: str, lr: float = 2e-4, batch: int = 8, pa
         print(f"deblur: saving best-EMA checkpoint (val psnr {best_psnr:.3f})",
               flush=True)
     trainer.save("deblur")
+    if ckpt_dir:
+        import json as _json
+
+        # conditioning contract: record the trained strength
+        # normalization so inference can't mis-condition the net when
+        # the runtime gaussian_max_rounds differs
+        import os
+
+        with open(os.path.join(ckpt_dir, "deblur.meta.json"), "w") as fh:
+            _json.dump({"max_strength": float(max_rounds)}, fh)
     return trainer
 
 

@@ -94,12 +94,18 @@ def measure_performance(
     fg_masks=None,
     metrics: bool = True,
     label: Optional[str] = None,
+    exclude=("lpips", "fvmd"),
     **kwargs,
 ) -> Dict:
     """Run a restorer and report FPS (+ optional quality metrics).
 
     Returns {'label', 'status', 'seconds', 'fps', 'frames',
     'error'?, 'metrics'?}; the restored frames are under 'output'.
+
+    ``exclude``: expensive metrics skipped by name — the reference's
+    ``metrics_to_exclude`` (presley.py:448-531). PSNR/SSIM/MSE always
+    run; 'lpips' (the trained perceptual backbone) and 'fvmd' join the
+    dict when removed from the exclusion list.
     """
     import numpy as np
 
@@ -142,5 +148,21 @@ def measure_performance(
             fg = jnp.asarray(np.asarray(fg_masks).astype(bool))
             m["fg_psnr"] = float(masked_psnr(ref, dec, fg).mean())
             m["bg_psnr"] = float(masked_psnr(ref, dec, ~fg).mean())
+        excluded = {e.lower() for e in (exclude or ())}
+        if "lpips" not in excluded:
+            try:
+                from elvis_tpu.metrics.perceptual import lpips_distance
+
+                m["lpips"] = float(jnp.mean(lpips_distance(ref, dec)))
+            except Exception as exc:  # no checkpoint / tiny frames
+                m["lpips_error"] = f"{type(exc).__name__}: {exc}"
+        if "fvmd" not in excluded:
+            try:
+                from elvis_tpu.metrics.fvmd import fvmd
+
+                m["fvmd"] = float(fvmd(np.asarray(reference_frames),
+                                       np.asarray(out)))
+            except Exception as exc:
+                m["fvmd_error"] = f"{type(exc).__name__}: {exc}"
         record["metrics"] = m
     return record

@@ -44,6 +44,24 @@ class TestTimingUtils:
         assert rec["status"] == "ok" and rec["fps"] > 0
         assert rec["metrics"]["psnr"] == 100.0
 
+    def test_measure_performance_exclude_knob(self, tiny_video):
+        """metrics_to_exclude semantics (reference presley.py:448-531):
+        lpips/fvmd are skipped by default, computed when un-excluded."""
+        rec = measure_performance(
+            lambda f: jnp.asarray(f), tiny_video,
+            reference_frames=tiny_video, label="identity",
+        )
+        m = rec["metrics"]
+        assert "lpips" not in m and "fvmd" not in m
+        assert "lpips_error" not in m and "fvmd_error" not in m
+        rec = measure_performance(
+            lambda f: jnp.asarray(f), tiny_video,
+            reference_frames=tiny_video, label="identity", exclude=("fvmd",),
+        )
+        m = rec["metrics"]
+        assert "lpips" in m or "lpips_error" in m
+        assert "fvmd" not in m and "fvmd_error" not in m
+
     def test_measure_performance_error_captured(self, tiny_video):
         def bad(f):
             raise RuntimeError("nope")
@@ -84,8 +102,13 @@ class TestRunPresley:
         results = run_presley(cfg)
         methods = results["methods"]
         for key in ("baseline", "roi_nvc", "shrink_row_only_telea",
-                    "shrink_row_only_propainter", "downsample_lanczos",
-                    "blur_unsharp"):
+                    "shrink_row_only_propainter", "shrink_row_only_e2fgvi",
+                    "downsample_lanczos", "downsample_lanczos_tb",
+                    "downsample_realesrgan_naive",
+                    "downsample_realesrgan_adaptive",
+                    "downsample_scale_lanczos",
+                    "blur_unsharp", "blur_deblur_net",
+                    "blur_instantir_adaptive", "blur_instantir_naive"):
             assert key in methods, key
             assert methods[key]["status"] == "ok", methods[key]
             assert methods[key]["fps"] > 0

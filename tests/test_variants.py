@@ -61,6 +61,39 @@ class TestScaleVariant:
         assert int(jnp.max(smap)) == 0
         np.testing.assert_allclose(np.asarray(out), tiny_video, atol=1e-3)
 
+    def test_scale_lanczos_restore(self, tiny_video, rng):
+        """restore_downsample_scale_lanczos (reference utils.py:1253-1314):
+        per degraded block, re-simulate the area downscale to b//s then
+        Lanczos-4 up; untouched (scale 0) blocks pass through."""
+        from elvis_tpu.restore.lanczos import restore_downsample_scale_lanczos
+
+        b, ms = 8, 4
+        imp = jnp.asarray(rng.random((5, 6, 8)).astype(np.float32))
+        frames = jnp.asarray(tiny_video.astype(np.float32))
+        degraded, smap = adaptive_downsample_scale(frames, imp, b, ms)
+        restored = np.asarray(restore_downsample_scale_lanczos(degraded, smap, b, ms))
+
+        sm = np.asarray(smap)
+        dg = np.asarray(degraded, np.float64)
+        for t, i, j in [(0, 0, 0), (1, 2, 3), (4, 4, 7), (2, 1, 5)]:
+            blk = dg[t, i * b:(i + 1) * b, j * b:(j + 1) * b]
+            s = int(sm[t, i, j])
+            if s == 0:
+                want = blk
+            else:
+                small = max(1, b // s)
+                d = resize_matrix(small, b, "area")
+                u = resize_matrix(b, small, "lanczos4")
+                y = np.einsum("oh,hwc->owc", d, blk)
+                y = np.einsum("pw,hwc->hpc", d, y)
+                y = np.einsum("oh,hwc->owc", u, y)
+                y = np.einsum("pw,hwc->hpc", u, y)
+                want = y
+            np.testing.assert_allclose(
+                restored[t, i * b:(i + 1) * b, j * b:(j + 1) * b],
+                want, atol=2e-2,
+            )
+
 
 class TestVideoSidecar:
     def test_roundtrip_lossy_but_close(self, rng):
