@@ -84,10 +84,37 @@ def _plane_of(blocks: jnp.ndarray) -> jnp.ndarray:
     return combine_blocks(blocks[..., None])[..., 0]
 
 
+# RDOQ-lite lambda, in Qstep^2 units (H.264's mode lambda 0.85*2^((QP-12)/3)
+# expressed against this codec's Qstep = 2^((QP-4)/6) is ~0.133*Qstep^2).
+# Each coefficient picks between its rounded level l0 and l0-1 by true
+# D + lambda*R under the range coder's bit model — in practice this zeroes
+# isolated |c| < ~0.76*Qstep coefficients (a zero costs ~0.05 bits, the
+# smallest nonzero level ~4) while leaving multi-level coefficients at full
+# rounding precision. A blanket deadzone offset (H.264's f=1/3 / f=1/6) was
+# measured NOT Pareto here: +2.3 dB at equal rate on textured pans but
+# -1.7..-3.2 dB on sharp-edge/smooth content, where small coefficients are
+# load-bearing; the per-coefficient decision keeps both (calibration table
+# in docs/DESIGN.md round 3). 0 disables (plain rounding).
+RDOQ_LAMBDA = 0.133
+
+
 def _quantize(coeffs: jnp.ndarray, qstep: jnp.ndarray) -> jnp.ndarray:
-    # qstep (By,Bx) -> broadcast over (By,Bx,8,8); round-half-away deadzone-free
-    q = jnp.round(coeffs / qstep[..., None, None])
-    return jnp.clip(q, -32767, 32767).astype(jnp.int16)
+    # qstep (By,Bx) -> broadcast over (By,Bx,8,8)
+    q = qstep[..., None, None]
+    a = jnp.abs(coeffs)
+    l0 = jnp.round(a / q)
+    if RDOQ_LAMBDA:
+        l1 = jnp.maximum(l0 - 1.0, 0.0)
+        lam = RDOQ_LAMBDA * q * q
+
+        def bits(l):
+            return jnp.where(l > 0, 2.0 * jnp.ceil(jnp.log2(l + 1.0)) + 2.0, 0.05)
+
+        c0 = (a - l0 * q) ** 2 + lam * bits(l0)
+        c1 = (a - l1 * q) ** 2 + lam * bits(l1)
+        l0 = jnp.where(c1 < c0, l1, l0)
+    lv = jnp.sign(coeffs) * l0
+    return jnp.clip(lv, -32767, 32767).astype(jnp.int16)
 
 
 def _dequantize(levels: jnp.ndarray, qstep: jnp.ndarray) -> jnp.ndarray:
@@ -228,7 +255,15 @@ def _mc_selection_table(b: int = BLOCK, reach: int = 1) -> np.ndarray:
 def _neighbourhood(prev_recon: jnp.ndarray, reach: int = 1) -> jnp.ndarray:
     """(By, Bx, W, W) block neighbourhoods, W = (2*reach+1)*BLOCK: each
     block's surrounding (2*reach+1)^2 block window, edge blocks
-    replicated (out-of-frame motion clamps at BLOCK granularity)."""
+    replicated (out-of-frame motion clamps at BLOCK granularity).
+
+    Memory bound: the materialized tensor is (2*reach+1)^2 copies of the
+    frame in f32 — ~(2r+1)^2 * H*W * 4 bytes. At 1080p that is ~75 MB for
+    reach 1, ~0.4 GB for reach 3, and ~3 GB at the supported max
+    me_radius=56 (reach 9); the vmapped B-frame batch multiplies it
+    further. Keep reach <= 3 on large frames (the hierarchical ME in
+    ``encode_plane`` covers long motion coarse-to-fine precisely so large
+    reach is never needed at full resolution)."""
     blocks = _blocks_of(prev_recon)  # (By,Bx,b,b)
 
     def clamp_shift(x, d, axis):

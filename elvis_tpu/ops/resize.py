@@ -131,6 +131,20 @@ def resize(
         has_c = images.ndim >= 3 and images.shape[-1] in (1, 3, 4)
     else:
         has_c = bool(channels) and images.ndim >= 3
+    in_hw = images.shape[-3:-1] if has_c else images.shape[-2:]
+    if tuple(in_hw) == (out_h, out_w) and not (
+        clip_uint8_range
+        and jnp.issubdtype(images.dtype, jnp.signedinteger)
+        and jnp.iinfo(images.dtype).bits == 8
+    ):
+        # Identity resize: every method's matrix is exactly eye() at
+        # dst==src (resize_matrix short-circuits before the method
+        # dispatch) and the round/clip tail is a no-op on data already in
+        # its own dtype — skip the two full-frame HIGHEST-precision
+        # matmuls (the progressive loop's final stage resizes the
+        # degraded input to its own resolution). Sole exception: int8
+        # with clip_uint8_range, where the tail clips negatives to 0.
+        return images
     x = images if has_c else images[..., None]
     *_, h, w, _ = x.shape
 

@@ -55,6 +55,23 @@ class TestResize:
         y = np.asarray(R.resize(img, (4, 4), method="lanczos4"))
         assert y.dtype == np.uint8
 
+    def test_identity_resize_is_a_passthrough(self):
+        """dst==src returns the input array unchanged (same object — the
+        short-circuit skips the two full-frame HIGHEST matmuls the
+        progressive loop's final stage would otherwise pay)."""
+        img = jnp.asarray(np.random.default_rng(0).random((2, 8, 12, 3),
+                                                          dtype=np.float32))
+        for method in ("area", "linear", "lanczos4", "nearest"):
+            assert R.resize(img, (8, 12), method=method) is img
+        # channel-less maps short-circuit on their own spatial dims
+        maps = jnp.asarray(np.arange(24, dtype=np.float32).reshape(2, 4, 3))
+        assert R.resize(maps, (4, 3), channels=False) is maps
+        # int8 + clip_uint8_range is the one case the tail is NOT a no-op
+        # (negatives clip to 0): must keep taking the full path
+        s8 = jnp.asarray(np.array([[-5, 7]], dtype=np.int8))
+        y = np.asarray(R.resize(s8, (1, 2)))
+        np.testing.assert_array_equal(y, [[0, 7]])
+
     def test_channels_false_for_narrow_block_maps(self):
         """Regression: an (N, By, 3) block map must resize the SPATIAL axes
         when channels=False — the heuristic alone would treat Bx=3 as RGB."""
