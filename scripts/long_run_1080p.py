@@ -143,9 +143,16 @@ def main() -> int:
         verbose=True,
     )
 
+    cache_dir = os.path.join(args.workdir, "exp", "stage_cache")
+    pre_cached = sorted(os.listdir(cache_dir)) if os.path.isdir(cache_dir) else []
+
     digest = {
         "clip": {"frames": args.frames, "resolution": f"{args.width}x{args.height}", "fps": 30.0,
                  "content": "photo-mosaic pan (china/flower/grace_hopper) + moving object"},
+        # Honest labeling: if a prior (crashed) attempt left stage-cache
+        # entries, run 1 resumes them and its stage times are HIT times
+        # for those stages, not cold times.
+        "pre_existing_stage_cache": pre_cached,
         "config": {"codec": "nvc", "block_size": 8,
                    "sr_backends": config.sr_backends,
                    "deblur_backends": config.deblur_backends,
