@@ -25,7 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from elvis_tpu.metrics.fvmd import fvmd_incremental
+from elvis_tpu.metrics.fvmd import fvmd_from_features, region_motion_features
 from elvis_tpu.metrics.perceptual import lpips_distance
 from elvis_tpu.metrics.pixel import mask_union_bbox, masked_mse, masked_psnr, masked_ssim
 from elvis_tpu.metrics.vmaf import compute_vmaf, vmaf_available
@@ -89,12 +89,19 @@ def evaluate_approach(
     enable_vmaf: bool = True,
     vmaf_stride: int = 1,
     framerate: float = 30.0,
+    ref_feat_cache: Optional[dict] = None,
 ) -> Dict:
     """One approach -> the reference's per-video result dict.
 
     Frames stay HOST arrays; the device sees one jitted chunk at a time
     (both the pixel/LPIPS metrics here and the FVMD motion features),
-    so evaluation memory is bounded regardless of clip length."""
+    so evaluation memory is bounded regardless of clip length.
+
+    ``ref_feat_cache``: optional dict reused across approaches; the
+    reference clip's FVMD motion features (FG+BG) are stored per
+    (frame_count, stride, max_frames) key so the fan-out extracts them
+    once instead of per approach — at 128f/1080p the per-approach
+    re-extraction dominated evaluation wall-clock (round-3 long run)."""
     n = min(reference_frames.shape[0], decoded_frames.shape[0])
     ref_np = np.asarray(reference_frames[:n])
     dec_np = np.asarray(decoded_frames[:n])
@@ -152,19 +159,27 @@ def evaluate_approach(
     if enable_fvmd and n >= 4:
         # Incremental early-stop + sliding-window std, the reference's
         # elvis.py:3535-3583 machinery; fvmd_std is the stability measure.
-        # Masking happens inside the chunked feature extractor — no
-        # clip-sized masked copies on device or host.
-        fvmd_kw = dict(
-            stride=fvmd_stride,
-            early_stop_delta=fvmd_early_stop_delta,
-            window=fvmd_early_stop_window,
-            max_frames=fvmd_max_frames,
-        )
-        fgf = fg.astype(np.float32)
-        fg_v, fg_std = fvmd_incremental(ref_np, dec_np, mask=fgf, **fvmd_kw)
+        # Masking happens ON DEVICE inside the chunked feature extractor
+        # (no clip-sized masked copies, uint8-rate pushes); FG and BG
+        # features come from ONE push per clip, and the reference clip's
+        # features are shared across approaches via ref_feat_cache.
+        feat_kw = dict(stride=fvmd_stride, max_frames=fvmd_max_frames)
+        es_kw = dict(early_stop_delta=fvmd_early_stop_delta,
+                     window=fvmd_early_stop_window)
+        key = (n, fvmd_stride, fvmd_max_frames)
+        if ref_feat_cache is not None and key in ref_feat_cache:
+            ref_fg_feats, ref_bg_feats = ref_feat_cache[key]
+        else:
+            ref_fg_feats, ref_bg_feats = region_motion_features(
+                ref_np, fg, **feat_kw)
+            if ref_feat_cache is not None:
+                ref_feat_cache[key] = (ref_fg_feats, ref_bg_feats)
+        dec_fg_feats, dec_bg_feats = region_motion_features(
+            dec_np, fg, **feat_kw)
+        fg_v, fg_std = fvmd_from_features(ref_fg_feats, dec_fg_feats, **es_kw)
         result["foreground"]["fvmd"] = fg_v
         result["foreground"]["fvmd_std"] = fg_std
-        bg_v, bg_std = fvmd_incremental(ref_np, dec_np, mask=1.0 - fgf, **fvmd_kw)
+        bg_v, bg_std = fvmd_from_features(ref_bg_feats, dec_bg_feats, **es_kw)
         result["background"]["fvmd"] = bg_v
         result["background"]["fvmd_std"] = bg_std
 
@@ -204,14 +219,18 @@ def analyze_encoding_performance(
     enable_vmaf: bool = True,
     vmaf_stride: int = 1,
     analysis_sample_frames: Optional[int] = None,
+    verbose: bool = False,
 ) -> Dict:
     """All approaches -> {label: result dict} (the analysis_results.json
     body, elvis.py:3599 fan-out). ``analysis_sample_frames`` caps the
     number of frames entering the analysis (the search drivers' knob,
-    SURVEY.md §2.9 bug #4)."""
+    SURVEY.md §2.9 bug #4). ``verbose`` prints one line per finished
+    approach — evaluation is the longest unlogged span at scale (a
+    128f/1080p clip spends tens of minutes here with FVMD on)."""
     if analysis_sample_frames:
         reference_frames = reference_frames[:analysis_sample_frames]
     out: Dict[str, Dict] = {}
+    ref_feat_cache: Dict = {}  # reference FVMD features, shared across approaches
     for label, frames in decoded_videos.items():
         t0 = time.time()
         out[label] = evaluate_approach(
@@ -228,6 +247,10 @@ def analyze_encoding_performance(
             enable_vmaf=enable_vmaf,
             vmaf_stride=vmaf_stride,
             framerate=framerate,
+            ref_feat_cache=ref_feat_cache,
         )
         out[label]["evaluation_seconds"] = time.time() - t0
+        if verbose:
+            print(f"[elvis_tpu]   evaluated {label}: "
+                  f"{out[label]['evaluation_seconds']:.1f}s", flush=True)
     return out

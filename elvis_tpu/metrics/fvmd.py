@@ -25,7 +25,10 @@ import jax.numpy as jnp
 from elvis_tpu.ops.color import rgb_to_gray
 from elvis_tpu.ops.motion import block_motion
 
-__all__ = ["motion_features", "frechet_distance", "fvmd", "fvmd_incremental"]
+__all__ = [
+    "motion_features", "frechet_distance", "fvmd", "fvmd_incremental",
+    "region_motion_features", "fvmd_from_features",
+]
 
 
 def motion_features(
@@ -121,6 +124,58 @@ class _RunningGaussian:
 _FVMD_CHUNK_FRAMES = 16
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_features(block_size: int, radius: int, masked: bool, pair: bool):
+    """Jitted feature extractors, cached at module scope.
+
+    A fresh ``jax.jit(partial(...))`` per call gets a fresh trace cache,
+    so every fvmd call used to recompile; the lru_cache makes the
+    executable persistent across calls (and across approaches in the
+    evaluation fan-out). f32 conversion and region masking happen ON
+    DEVICE: uint8 frames push 6 MB/frame through the tunnel instead of
+    the 24 MB/frame a host-side ``astype(float32)`` cost (the tunnel's
+    push rate, not compute, dominated 128f/1080p evaluation — measured
+    in the round-3 long run)."""
+
+    def _mf(f):
+        return motion_features(f.astype(jnp.float32), block_size, radius)
+
+    if pair:
+        # FG and BG features from ONE push of the frames: masking is
+        # linear, so gray(f*m) == gray(f)*m; both regions reuse the gray.
+        def fn(f, m):
+            f = f.astype(jnp.float32)
+            mm = m[..., None].astype(jnp.float32)
+            return _mf(f * mm), _mf(f * (1.0 - mm))
+
+        return jax.jit(fn)
+    if masked:
+        return jax.jit(
+            lambda f, m: _mf(f.astype(jnp.float32) * m[..., None].astype(jnp.float32))
+        )
+    return jax.jit(_mf)
+
+
+def _chunk_spans(n: int, chunk: int):
+    """Yield (start, end, emit_from) frame spans: features ``start..end-3``
+    are computed per span and emitted from global feature index
+    ``emit_from`` (feature j needs frames j..j+2, so spans overlap by 2
+    and the concatenation equals one-shot extraction exactly). Tail spans
+    slide inward so every span has the same shape: one compile."""
+    if n <= chunk:
+        yield 0, n, 0
+        return
+    j0 = 0
+    s = 0
+    while j0 < n - 2:
+        e = min(s + chunk, n)
+        if e - s < chunk:
+            s, e = n - chunk, n
+        yield s, e, j0
+        j0 = e - 2
+        s = e - 2
+
+
 def _features_chunked(
     frames: np.ndarray,
     mask: np.ndarray | None,
@@ -128,36 +183,57 @@ def _features_chunked(
     radius: int,
 ) -> np.ndarray:
     """Motion features over host frames, extracted in jitted overlapping
-    chunks; optional (N,H,W) float mask is applied per chunk (region
-    masking without a clip-sized masked copy)."""
+    chunks; optional (N,H,W) float mask is applied per chunk ON DEVICE
+    (region masking without a clip-sized masked copy, and without
+    inflating the host->device push to float32)."""
     n = int(frames.shape[0])
-    chunk = _FVMD_CHUNK_FRAMES
-
-    def _prep(part, msel):
-        part = np.asarray(part, np.float32)
-        if msel is not None:
-            part = part * msel[..., None]
-        return jnp.asarray(part)
-
-    if n <= chunk:
-        m = None if mask is None else np.asarray(mask[:n], np.float32)
-        return np.asarray(motion_features(_prep(frames, m), block_size, radius))
-    jfn = jax.jit(
-        functools.partial(motion_features, block_size=block_size, radius=radius)
-    )
+    jfn = _jitted_features(block_size, radius, mask is not None, False)
     feats = []
-    j0 = 0  # next global feature index to emit (feature j <- frames j..j+2)
-    s = 0
-    while j0 < n - 2:
-        e = min(s + chunk, n)
-        if e - s < chunk:
-            s, e = n - chunk, n  # slide the tail window inward: one compile
-        msel = None if mask is None else np.asarray(mask[s:e], np.float32)
-        f = np.asarray(jfn(_prep(frames[s:e], msel)))  # features s..e-3
+    for s, e, j0 in _chunk_spans(n, _FVMD_CHUNK_FRAMES):
+        args = (jnp.asarray(frames[s:e]),)
+        if mask is not None:
+            args += (jnp.asarray(np.ascontiguousarray(mask[s:e])),)
+        f = np.asarray(jfn(*args))  # features s..e-3
         feats.append(f[j0 - s :])
-        j0 = e - 2
-        s = e - 2
-    return np.concatenate(feats)[: n - 2]
+    return np.concatenate(feats)[: max(n - 2, 0)] if feats else np.zeros((0, 32))
+
+
+def region_motion_features(
+    frames: np.ndarray,
+    fg_mask: np.ndarray,
+    *,
+    block_size: int = 16,
+    radius: int = 4,
+    stride: int = 1,
+    max_frames: int | None = None,
+):
+    """(fg_features, bg_features) for one clip, one frames push.
+
+    The evaluation fan-out needs BOTH regions' features for the reference
+    AND every decoded approach; extracting the pair per push (and caching
+    the reference's pair across approaches, see
+    ``analyze_encoding_performance``) removes the dominant redundant
+    transfers of the old per-(approach, region) extraction. Returns
+    ``(None, None)`` when fewer than 4 frames survive stride/max_frames
+    (FVMD undefined — velocity + acceleration need 4 frames)."""
+    r = frames[::stride] if stride > 1 else frames
+    m = fg_mask[::stride] if stride > 1 else fg_mask
+    if max_frames is not None:
+        r, m = r[:max_frames], m[:max_frames]
+    n = int(r.shape[0])
+    if n < 4:
+        return None, None
+    jfn = _jitted_features(block_size, radius, True, True)
+    fg_feats, bg_feats = [], []
+    for s, e, j0 in _chunk_spans(n, _FVMD_CHUNK_FRAMES):
+        ff, bf = jfn(
+            jnp.asarray(np.ascontiguousarray(r[s:e])),
+            jnp.asarray(np.ascontiguousarray(m[s:e])),
+        )
+        fg_feats.append(np.asarray(ff)[j0 - s :])
+        bg_feats.append(np.asarray(bf)[j0 - s :])
+    return (np.concatenate(fg_feats)[: n - 2],
+            np.concatenate(bg_feats)[: n - 2])
 
 
 def fvmd(
@@ -216,9 +292,28 @@ def fvmd_incremental(
         return float("nan"), float("nan")
     fa = _features_chunked(np.asarray(r), m, block_size, radius)
     fb = _features_chunked(np.asarray(d), m, block_size, radius)
+    return fvmd_from_features(fa, fb, early_stop_delta=early_stop_delta,
+                              window=window)
 
+
+def fvmd_from_features(
+    fa: np.ndarray | None,
+    fb: np.ndarray | None,
+    *,
+    early_stop_delta: float = 0.002,
+    window: int = 50,
+) -> tuple:
+    """The incremental Frechet fit on precomputed feature sequences.
+
+    Split out of ``fvmd_incremental`` so callers that evaluate many clips
+    against one reference (the evaluation fan-out) can extract the
+    reference's features ONCE via ``region_motion_features`` and reuse
+    them — feature extraction is the transfer-dominated part at scale.
+    Returns ``(nan, nan)`` for missing/short feature sequences."""
+    if fa is None or fb is None or fa.shape[0] < 2 or fb.shape[0] < 2:
+        return float("nan"), float("nan")
     estimates = []
-    n_feat = fa.shape[0]
+    n_feat = min(fa.shape[0], fb.shape[0])
     start = min(4, n_feat)
     ga, gb = _RunningGaussian(fa.shape[1]), _RunningGaussian(fb.shape[1])
     for i in range(start - 1):

@@ -969,6 +969,7 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         enable_vmaf=config.enable_vmaf,
         vmaf_stride=config.vmaf_stride,
         analysis_sample_frames=config.analysis_sample_frames,
+        verbose=config.verbose,
     )
     execution_times["Performance Evaluation"] = time.time() - t0
     for approach, total in approach_times.items():

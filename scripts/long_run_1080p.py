@@ -107,29 +107,12 @@ def approach_digest(results: dict) -> dict:
     return rows
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=128)
-    ap.add_argument("--height", type=int, default=1080)
-    ap.add_argument("--width", type=int, default=1920)
-    ap.add_argument("--workdir", default="/tmp/longrun")
-    ap.add_argument("--out", default=os.path.join(REPO, "docs", "long_run_1080p.json"))
-    args = ap.parse_args()
-
+def _make_config(args):
     from elvis_tpu.pipeline.config import ElvisConfig
-    from elvis_tpu.pipeline.run import run_elvis
 
-    os.makedirs(args.workdir, exist_ok=True)
     clip_path = os.path.join(
         args.workdir, f"clip_{args.frames}f_{args.width}x{args.height}.npy")
-    if not os.path.exists(clip_path):
-        t0 = time.time()
-        clip = build_clip(args.frames, args.height, args.width)
-        np.save(clip_path, clip)
-        print(f"[long_run] clip built: {clip.shape} in {time.time()-t0:.1f}s",
-              flush=True)
-
-    config = ElvisConfig(
+    return ElvisConfig(
         reference_video=clip_path,
         width=args.width,
         height=args.height,
@@ -143,6 +126,56 @@ def main() -> int:
         verbose=True,
     )
 
+
+def _run_single_pass(args) -> None:
+    """Child-process entry: ONE run_elvis pass -> pass digest JSON.
+
+    Each pass runs in its own process because the axon TPU plugin leaks
+    ~25% of every host->device push in host RSS (measured r3: pushes
+    leak, pulls don't, malloc_trim doesn't help) — a 128f/1080p pass
+    accumulates tens of GB that only process exit returns. Two passes in
+    one process OOM-killed the first long-run attempt at 122 GB RSS."""
+    import psutil
+
+    from elvis_tpu.pipeline.run import run_elvis
+
+    t0 = time.time()
+    results = run_elvis(_make_config(args))
+    digest = {
+        "total_seconds": round(time.time() - t0, 1),
+        "stages": stage_digest(results),
+        "approaches": approach_digest(results),
+        "peak_rss_gb": round(psutil.Process().memory_info().rss / 1e9, 1),
+    }
+    with open(args.emit_pass_digest, "w") as f:
+        json.dump(digest, f, indent=2)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=128)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--workdir", default="/tmp/longrun")
+    ap.add_argument("--out", default=os.path.join(REPO, "docs", "long_run_1080p.json"))
+    ap.add_argument("--emit-pass-digest", default=None, help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args.emit_pass_digest:
+        _run_single_pass(args)
+        return 0
+
+    os.makedirs(args.workdir, exist_ok=True)
+    clip_path = os.path.join(
+        args.workdir, f"clip_{args.frames}f_{args.width}x{args.height}.npy")
+    if not os.path.exists(clip_path):
+        t0 = time.time()
+        clip = build_clip(args.frames, args.height, args.width)
+        np.save(clip_path, clip)
+        print(f"[long_run] clip built: {clip.shape} in {time.time()-t0:.1f}s",
+              flush=True)
+
+    config = _make_config(args)
     cache_dir = os.path.join(args.workdir, "exp", "stage_cache")
     pre_cached = sorted(os.listdir(cache_dir)) if os.path.isdir(cache_dir) else []
 
@@ -159,31 +192,34 @@ def main() -> int:
                    "inpaint_backends": config.inpaint_backends},
     }
 
-    t0 = time.time()
-    results = run_elvis(config)
-    cold_s = time.time() - t0
-    digest["cold_run"] = {
-        "total_seconds": round(cold_s, 1),
-        "stages": stage_digest(results),
-    }
-    digest["approaches"] = approach_digest(results)
+    # Each pass runs in a CHILD process (see _run_single_pass: the axon
+    # push leak makes a two-pass single process OOM at this scale) and
+    # dumps its digest incrementally so a crash in pass 2 keeps pass 1.
+    import subprocess
 
-    # Partial dump now: a crash in the resume run must not lose the cold
-    # numbers (3h+ of wall-clock on this image).
-    with open(args.out, "w") as f:
-        json.dump(digest, f, indent=2)
-
-    # Second run in the same experiment dir: StageCache resume behaviour.
-    t0 = time.time()
-    results2 = run_elvis(config)
-    digest["resume_run"] = {
-        "total_seconds": round(time.time() - t0, 1),
-        "stages": stage_digest(results2),
-    }
-
-    with open(args.out, "w") as f:
-        json.dump(digest, f, indent=2)
-    print(f"[long_run] digest -> {args.out}", flush=True)
+    base_argv = [sys.executable, "-u", os.path.abspath(__file__),
+                 "--frames", str(args.frames), "--height", str(args.height),
+                 "--width", str(args.width), "--workdir", args.workdir]
+    for label in ("cold_run", "resume_run"):
+        pass_json = os.path.join(args.workdir, f"pass_{label}.json")
+        if os.path.exists(pass_json):
+            os.remove(pass_json)
+        t0 = time.time()
+        proc = subprocess.run(base_argv + ["--emit-pass-digest", pass_json])
+        if proc.returncode != 0 or not os.path.exists(pass_json):
+            print(f"[long_run] {label} pass FAILED (rc={proc.returncode})",
+                  flush=True)
+            return 1
+        with open(pass_json) as f:
+            pd = json.load(f)
+        digest[label] = {k: pd[k] for k in
+                         ("total_seconds", "stages", "peak_rss_gb")}
+        if label == "cold_run":
+            digest["approaches"] = pd["approaches"]
+        with open(args.out, "w") as f:
+            json.dump(digest, f, indent=2)
+        print(f"[long_run] {label}: {pd['total_seconds']:.0f}s "
+              f"(peak rss {pd['peak_rss_gb']} GB) -> {args.out}", flush=True)
     return 0
 
 

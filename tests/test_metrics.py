@@ -220,6 +220,41 @@ class TestFvmdIncremental:
         assert np.isclose(v_mask, v_pre, atol=1e-6)
         assert np.isclose(s_mask, s_pre, atol=1e-6)
 
+    def test_region_pair_matches_per_region_extraction(self, rng, monkeypatch):
+        """region_motion_features (one frames push -> FG+BG features)
+        equals two independent masked extractions, including across
+        chunk boundaries, and fvmd_from_features on those features
+        equals fvmd_incremental end to end."""
+        import elvis_tpu.metrics.fvmd as fvmd_mod
+        from elvis_tpu.metrics.fvmd import (
+            _features_chunked, fvmd_from_features, fvmd_incremental,
+            region_motion_features,
+        )
+
+        ref = (rng.random((13, 32, 48, 3)) * 255).astype(np.uint8)
+        dec = np.clip(
+            ref.astype(np.float32) + rng.normal(0, 5, ref.shape), 0, 255
+        ).astype(np.uint8)
+        fg = rng.random((13, 32, 48)) < 0.5
+        monkeypatch.setattr(fvmd_mod, "_FVMD_CHUNK_FRAMES", 6)
+
+        fgf, bgf = region_motion_features(ref, fg)
+        np.testing.assert_allclose(
+            fgf, _features_chunked(ref, fg.astype(np.float32), 16, 4), atol=1e-5)
+        np.testing.assert_allclose(
+            bgf, _features_chunked(ref, 1.0 - fg.astype(np.float32), 16, 4),
+            atol=1e-5)
+
+        dfg, _ = region_motion_features(dec, fg)
+        v_new, s_new = fvmd_from_features(fgf, dfg)
+        v_old, s_old = fvmd_incremental(ref, dec, mask=fg.astype(np.float32))
+        assert np.isclose(v_new, v_old, rtol=1e-5, atol=1e-6)
+        assert np.isclose(s_new, s_old, rtol=1e-5, atol=1e-6)
+
+        # too-few-frames contract
+        assert region_motion_features(ref[:3], fg[:3]) == (None, None)
+        assert all(np.isnan(x) for x in fvmd_from_features(None, dfg))
+
 
 class TestEvaluateChunking:
     def test_chunked_evaluation_is_invariant(self, rng, monkeypatch):
@@ -247,6 +282,38 @@ class TestEvaluateChunking:
                 else:
                     assert np.isclose(many[region][k], v, rtol=1e-5, atol=1e-6), (
                         region, k, v, many[region][k])
+
+    def test_reference_features_extracted_once_across_approaches(
+            self, rng, monkeypatch):
+        """The fan-out shares the reference clip's FVMD features across
+        approaches (they're identical every time): N approaches must cost
+        N+1 feature extractions, not 2N — at 128f/1080p the redundant
+        reference re-extraction dominated evaluation wall-clock."""
+        import elvis_tpu.metrics.evaluate as ev
+
+        ref = (rng.random((8, 32, 48, 3)) * 255).astype(np.uint8)
+        fg = np.zeros((8, 32, 48), bool)
+        fg[:, 8:24, 12:36] = True
+        videos = {}
+        for i in range(3):
+            videos[f"approach_{i}"] = np.clip(
+                ref.astype(np.float32) + rng.normal(0, 3 + i, ref.shape), 0, 255
+            ).astype(np.uint8)
+
+        calls = []
+        real = ev.region_motion_features
+
+        def counting(frames, mask, **kw):
+            calls.append(frames.shape)
+            return real(frames, mask, **kw)
+
+        monkeypatch.setattr(ev, "region_motion_features", counting)
+        out = ev.analyze_encoding_performance(
+            ref, videos, fg, {k: 1e6 for k in videos},
+            enable_vmaf=False, enable_fvmd=True)
+        assert len(calls) == len(videos) + 1  # 1 reference + 1 per approach
+        for k in videos:
+            assert np.isfinite(out[k]["foreground"]["fvmd"])
 
 
 class TestTrainedLpips:
