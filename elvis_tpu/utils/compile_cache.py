@@ -29,6 +29,15 @@ def enable_compilation_cache(path: Optional[str] = None) -> Optional[str]:
     Returns the directory used, or None if the runtime refused."""
     import jax
 
+    if path is None and os.environ.get(_ENV) == "off":
+        # Hard opt-out. The test suite sets this: writing the persistent
+        # cache (put_executable_and_time -> executable serialization)
+        # segfaulted the CPython process three times in round-3 full-suite
+        # runs, always in that frame, after ~150 tests of accumulated jit
+        # state on the CPU test backend. Tests must not write user-level
+        # caches anyway; the real-chip paths (pipeline, bench, training)
+        # keep the cache on.
+        return None
     path = path or os.environ.get(_ENV) or os.path.join(
         os.path.expanduser("~"), ".cache", "elvis_tpu_xla"
     )

@@ -11,6 +11,10 @@ import os
 # alone is not enough in this image (a preinstalled TPU plugin prepends
 # itself), so we also force the config below.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# No persistent XLA compile cache under tests: its write path
+# (put_executable_and_time) segfaulted three full-suite runs; see
+# elvis_tpu/utils/compile_cache.py. "off" is a hard opt-out there.
+os.environ["ELVIS_TPU_COMPILE_CACHE"] = "off"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
