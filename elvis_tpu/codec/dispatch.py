@@ -84,10 +84,12 @@ class NvcPipelineCodec(PipelineCodec):
     name = "nvc"
 
     def __init__(self, *, b_frames: bool = False, me_radius: int = 4,
-                 multi_ref: bool = False, deblock: bool = False):
+                 multi_ref: bool = False, deblock: bool = True,
+                 intra_pred: bool = True):
         self._codec = NvcCodec()
         self._kw = dict(b_frames=b_frames, me_radius=me_radius,
-                        multi_ref=multi_ref, deblock=deblock)
+                        multi_ref=multi_ref, deblock=deblock,
+                        intra_pred=intra_pred)
 
     def encode(self, frames, *, target_bitrate, framerate, gop):
         return self._codec.encode(
@@ -316,13 +318,14 @@ def make_pipeline_codec(
     *, preset: str = "medium", pix_fmt: str = "yuv420p",
     quality: str = "medium", nvc_b_frames: bool = False,
     nvc_me_radius: int = 4, nvc_multi_ref: bool = False,
-    nvc_deblock: bool = False,
+    nvc_deblock: bool = True, nvc_intra_pred: bool = True,
 ) -> PipelineCodec:
     codecs: Dict[str, callable] = {
         "nvc": lambda: NvcPipelineCodec(b_frames=nvc_b_frames,
                                         me_radius=nvc_me_radius,
                                         multi_ref=nvc_multi_ref,
-                                        deblock=nvc_deblock),
+                                        deblock=nvc_deblock,
+                                        intra_pred=nvc_intra_pred),
         "x265": lambda: X265PipelineCodec(workdir, width, height, preset, pix_fmt),
         "kvazaar": lambda: KvazaarPipelineCodec(workdir, width, height, quality),
         "svtav1": lambda: SvtAv1PipelineCodec(workdir, width, height, quality),

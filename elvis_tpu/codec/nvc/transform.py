@@ -59,6 +59,15 @@ MODE_INTER = 1  # forward (previous-reference) prediction
 MODE_INTER_BWD = 2  # backward (next-reference) prediction — B frames only
 MODE_INTER_REF2 = 2  # two-back reference — P frames with multi_ref
 MODE_INTER_BI = 3  # bidirectional average — B frames only
+# Spatial intra prediction modes (full-intra frames only, round 4): the
+# block's pixels are predicted from the RECONSTRUCTED pixel rows directly
+# above it before the DCT, HEVC-style (every encoder the reference wraps —
+# x265/kvazaar/SVT-AV1 — ships neighbour prediction; raw-DCT keyframes were
+# the largest remaining RD lever at gop~1s). Mode 0 on an intra frame means
+# "raw" (no prediction), keeping old streams decodable.
+MODE_INTRA_DC = 4    # constant = mean of the row above
+MODE_INTRA_V = 5     # vertical: copy the row above down the block
+MODE_INTRA_GRAD = 6  # planar-style: extrapolate the vertical gradient
 
 
 def qstep_from_qp(qp: jnp.ndarray) -> jnp.ndarray:
@@ -191,6 +200,122 @@ def deblock_plane(plane: jnp.ndarray, qstep: jnp.ndarray) -> jnp.ndarray:
     8x8 seams at low rate without it)."""
     plane = _deblock_cols(plane, qstep)
     return _deblock_cols(plane.T, qstep.T).T
+
+
+def _intra_predictors(top2: jnp.ndarray) -> jnp.ndarray:
+    """Candidate spatial predictions from the two reconstructed pixel
+    rows directly above each block.
+
+    ``top2 (Bx, 2, b)`` — ``top2[:, 1]`` is the adjacent row, ``top2[:, 0]``
+    the one above it — -> ``(4, Bx, b, b)``: [raw (zeros), DC, vertical,
+    gradient].  Prediction uses UN-deblocked reconstructions (the H.264
+    convention), which is what the encode/decode wavefronts carry.
+    """
+    bx = top2.shape[0]
+    t1 = top2[:, 1]
+    t0 = top2[:, 0]
+    shape = (bx, BLOCK, BLOCK)
+    none = jnp.zeros(shape, jnp.float32)
+    dc = jnp.broadcast_to(t1.mean(axis=-1)[:, None, None], shape)
+    vert = jnp.broadcast_to(t1[:, None, :], shape)
+    r = jnp.arange(1, BLOCK + 1, dtype=jnp.float32)[None, :, None]
+    grad = jnp.clip(t1[:, None, :] + r * (t1 - t0)[:, None, :], 0.0, 255.0)
+    return jnp.stack([none, dc, vert, grad])
+
+
+def _intra_frame_encode(blocks: jnp.ndarray, qs: jnp.ndarray):
+    """Spatially-predicted encode of one full-intra frame.
+
+    TPU-native wavefront: a ``lax.scan`` over BLOCK ROWS (By sequential
+    steps, each vectorized over the Bx blocks of the row) — every block
+    predicts from the reconstructed bottom rows of the block above, so
+    top-referencing modes (DC / vertical / gradient) need no per-block
+    sequencing.  Left-neighbour modes would force a second scan over Bx
+    (240 steps at 1080p) and are deliberately omitted; keyframes are
+    sparse (gop ~ 1s) so the row scan's cost is negligible.
+
+    blocks ``(By, Bx, b, b)``, qs ``(By, Bx)`` ->
+    (levels int16 ``(By, Bx, b, b)``, modes int8 ``(By, Bx)`` in
+    {0, MODE_INTRA_DC, MODE_INTRA_V, MODE_INTRA_GRAD}, recon blocks
+    ``(By, Bx, b, b)`` float32).  Mode selection is the same D+lambda*R
+    rule as inter mode decision (_rd_cost).
+    """
+    bx = blocks.shape[1]
+
+    def row_step(top2, inp):
+        blk, qr = inp  # (Bx,b,b), (Bx,)
+        preds = _intra_predictors(top2)  # (4,Bx,b,b)
+        cs = block_dct2(blk[None] - preds)
+        lvs = _quantize(cs, qr[None])
+        costs = _rd_cost(lvs, cs, qr[None])  # (4,Bx)
+        midx = jnp.argmin(costs, axis=0)  # (Bx,)
+        onehot = (jnp.arange(4)[:, None] == midx[None]).astype(jnp.float32)
+        lv = (lvs.astype(jnp.float32) * onehot[..., None, None]).sum(axis=0)
+        pred = (preds * onehot[..., None, None]).sum(axis=0)
+        rec = jnp.clip(block_idct2(lv * qr[:, None, None]) + pred, 0.0, 255.0)
+        mode = jnp.where(midx == 0, 0, midx + 3).astype(jnp.int8)
+        return rec[:, -2:, :], (lv.astype(jnp.int16), mode, rec)
+
+    top0 = jnp.full((bx, 2, BLOCK), 128.0, jnp.float32)
+    _, (lv, modes, rec) = jax.lax.scan(row_step, top0, (blocks, qs))
+    return lv, modes, rec
+
+
+def _intra_frame_rd(lv, blocks, rec, qs, modes):
+    """Honest FRAME-level cost of one intra-frame candidate, for the
+    raw-vs-spatially-predicted arbiter in encode_plane.
+
+    Per-block D+lambda*R estimates mislead here: mixing raw and predicted
+    blocks fragments the DC-DPCM stream (codec._dc_dpcm codes each DC as
+    the delta to the previous block in frame raster order), so a block's
+    true DC cost depends on its neighbours' chosen modes. At frame level
+    both candidates' bits ARE computable: AC bits via the range coder's
+    binarization, DC bits over the actual in-frame DPCM sequence, and the
+    mode plane at its empirical entropy (an all-raw plane is ~free).
+    """
+    dist = ((rec - blocks) ** 2).sum(axis=(-2, -1))  # (By,Bx)
+    lvf = lv.astype(jnp.float32)
+    mag = jnp.abs(lvf).at[..., 0, 0].set(0.0)
+    bits_ac = jnp.where(
+        mag > 0, 2.0 * jnp.ceil(jnp.log2(mag + 1.0)) + 2.0, 0.05
+    ).sum(axis=(-2, -1))
+    dc = lvf[..., 0, 0].reshape(-1)  # frame raster order
+    dcd = jnp.abs(dc - jnp.concatenate([jnp.zeros((1,), jnp.float32), dc[:-1]]))
+    bits_dc = jnp.where(dcd > 0, 2.0 * jnp.ceil(jnp.log2(dcd + 1.0)) + 2.0, 0.05)
+    counts = jnp.stack(
+        [(modes == v).sum() for v in (0, MODE_INTRA_DC, MODE_INTRA_V,
+                                      MODE_INTRA_GRAD)]
+    ).astype(jnp.float32)
+    p = counts / jnp.maximum(counts.sum(), 1.0)
+    ent = -(jnp.where(p > 0, p * jnp.log2(jnp.maximum(p, 1e-12)), 0.0)).sum()
+    lam = 0.85 * qs * qs
+    return (
+        (dist + lam * bits_ac).sum()
+        + (lam.reshape(-1) * bits_dc).sum()
+        + lam.mean() * ent * counts.sum()
+    )
+
+
+def _intra_frame_decode(
+    lvl: jnp.ndarray, mode: jnp.ndarray, qs: jnp.ndarray
+) -> jnp.ndarray:
+    """Decode-side wavefront, the exact mirror of _intra_frame_encode:
+    lvl ``(By, Bx, b, b)`` float32 levels, mode ``(By, Bx)``,
+    qs ``(By, Bx)`` -> reconstructed blocks ``(By, Bx, b, b)``."""
+    bx = lvl.shape[1]
+
+    def row_step(top2, inp):
+        lv, md, qr = inp
+        preds = _intra_predictors(top2)
+        midx = jnp.where(md >= 4, md.astype(jnp.int32) - 3, 0)
+        onehot = (jnp.arange(4)[:, None] == midx[None]).astype(jnp.float32)
+        pred = (preds * onehot[..., None, None]).sum(axis=0)
+        rec = jnp.clip(block_idct2(lv * qr[:, None, None]) + pred, 0.0, 255.0)
+        return rec[:, -2:, :], rec
+
+    top0 = jnp.full((bx, 2, BLOCK), 128.0, jnp.float32)
+    _, rec = jax.lax.scan(row_step, top0, (lvl, mode, qs))
+    return rec
 
 
 def _motion_search(prev_recon: jnp.ndarray, cur_blocks: jnp.ndarray, radius: int, step: int):
@@ -462,6 +587,7 @@ def encode_plane(
     frame_offset: int = 0,
     init_recon: "tuple | None" = None,
     deblock: bool = False,
+    intra_pred: bool = True,
 ):
     """plane ``(N, H, W)`` float32 [0,255]; qp_map ``(N, By, Bx)`` int.
 
@@ -470,6 +596,9 @@ def encode_plane(
     recon (N,H,W) float32).
 
     ``gop``: intra-frame period (0 = only frame 0 is intra).
+    ``intra_pred``: spatial intra prediction on full-intra frames
+    (_intra_frame_encode — modes {0, 4, 5, 6} appear there). False
+    reproduces the raw-DCT keyframes of pre-round-4 streams bit-exactly.
     ``me_radius/me_step``: motion-search grid (0 radius = zero-motion).
     Radii above 7 switch to the hierarchical coarse-to-fine search
     (_me_plan): area-downsampled full search + greedy integer refinement,
@@ -508,6 +637,41 @@ def encode_plane(
     def step(carry, inputs):
         recon_prev, recon_prev2 = carry
         blocks, qs, intra_only = inputs
+        if intra_pred:
+            # Full-intra frames take the spatially-predicted wavefront;
+            # lax.cond on the scalar per-frame flag means P frames pay
+            # nothing for it (and intra frames skip motion search).
+            def _intra_path():
+                lv_sp, md_sp, rec_sp = _intra_frame_encode(blocks, qs)
+                # raw (unpredicted) alternative + frame-level arbiter:
+                # content where top-row prediction only fragments the
+                # DC-DPCM stream (e.g. dense texture) stays raw
+                c_raw = block_dct2(blocks)
+                lv_raw = _quantize(c_raw, qs)
+                rec_raw = jnp.clip(block_idct2(_dequantize(lv_raw, qs)),
+                                   0.0, 255.0)
+                md_raw = jnp.zeros_like(md_sp)
+                use_sp = (
+                    _intra_frame_rd(lv_sp, blocks, rec_sp, qs, md_sp)
+                    < _intra_frame_rd(lv_raw, blocks, rec_raw, qs, md_raw)
+                )
+                lv_i = jnp.where(use_sp, lv_sp, lv_raw)
+                md_i = jnp.where(use_sp, md_sp, md_raw)
+                recon_i = _plane_of(jnp.where(use_sp, rec_sp, rec_raw))
+                if deblock:
+                    recon_i = deblock_plane(recon_i, qs)
+                return (lv_i, md_i,
+                        jnp.zeros(blocks.shape[:2] + (2,), jnp.int8), recon_i)
+
+            lv, mode, mv, recon = jax.lax.cond(
+                intra_only, _intra_path, lambda: _inter_path(
+                    recon_prev, recon_prev2, blocks, qs, intra_only))
+        else:
+            lv, mode, mv, recon = _inter_path(
+                recon_prev, recon_prev2, blocks, qs, intra_only)
+        return (recon, recon_prev), (lv, mode, mv, recon)
+
+    def _inter_path(recon_prev, recon_prev2, blocks, qs, intra_only):
         if me_radius > 0:
             mv = _search_mv(
                 recon_prev, blocks, me_radius, me_step, me_halfpel,
@@ -560,8 +724,7 @@ def encode_plane(
             recon = _plane_of(rec)
             if deblock:
                 recon = deblock_plane(recon, qs)
-            return (recon, recon_prev), (lv.astype(jnp.int16), mode,
-                                         mv.astype(jnp.int8), recon)
+            return (lv.astype(jnp.int16), mode, mv.astype(jnp.int8), recon)
 
         use_inter = jnp.logical_and(cost_inter <= cost_intra, ~intra_only)
         lv = jnp.where(use_inter[..., None, None], lv_inter, lv_intra)
@@ -572,9 +735,7 @@ def encode_plane(
         recon = _plane_of(rec)
         if deblock:
             recon = deblock_plane(recon, qs)
-        return (recon, recon_prev), (
-            lv, use_inter.astype(jnp.int8), mv.astype(jnp.int8), recon
-        )
+        return (lv, use_inter.astype(jnp.int8), mv.astype(jnp.int8), recon)
 
     if init_recon is None:
         zero = jnp.zeros((h, w), dtype=jnp.float32)
@@ -622,17 +783,27 @@ def decode_plane(
     def step(carry, inputs):
         recon_prev, recon_prev2 = carry
         lvl, mode, mv, qs = inputs
-        pred = _motion_predict(recon_prev, mv.astype(jnp.int32), reach=reach)
-        if multi_ref:
-            pred2 = _motion_predict(recon_prev2, mv.astype(jnp.int32), reach=reach)
-            pred = jnp.where((mode == MODE_INTER_REF2)[..., None, None], pred2, pred)
-            is_inter = (mode == MODE_INTER) | (mode == MODE_INTER_REF2)
-        else:
-            is_inter = mode == MODE_INTER
-        rec_res = block_idct2(lvl * qs[..., None, None])
-        rec = jnp.where(is_inter[..., None, None], rec_res + pred, rec_res)
-        rec = jnp.clip(rec, 0.0, 255.0)
-        recon = _plane_of(rec)
+
+        def _spatial():
+            # any mode >= 4 marks a spatially-predicted full-intra frame
+            # (encode_plane only emits them there) -> wavefront decode
+            return _plane_of(_intra_frame_decode(lvl, mode, qs))
+
+        def _normal():
+            pred = _motion_predict(recon_prev, mv.astype(jnp.int32), reach=reach)
+            if multi_ref:
+                pred2 = _motion_predict(
+                    recon_prev2, mv.astype(jnp.int32), reach=reach)
+                pred = jnp.where(
+                    (mode == MODE_INTER_REF2)[..., None, None], pred2, pred)
+                is_inter = (mode == MODE_INTER) | (mode == MODE_INTER_REF2)
+            else:
+                is_inter = mode == MODE_INTER
+            rec_res = block_idct2(lvl * qs[..., None, None])
+            rec = jnp.where(is_inter[..., None, None], rec_res + pred, rec_res)
+            return _plane_of(jnp.clip(rec, 0.0, 255.0))
+
+        recon = jax.lax.cond(jnp.any(mode >= 4), _spatial, _normal)
         if deblock:
             recon = deblock_plane(recon, qs)
         return (recon, recon_prev), recon
@@ -657,6 +828,7 @@ def encode_plane_b(
     b_qp_offset: int = 2,
     multi_ref: bool = False,
     deblock: bool = False,
+    intra_pred: bool = True,
 ):
     """B-frame GOP structure, TPU-native: even-index frames form the
     P-reference chain (sequential ``lax.scan``, exactly encode_plane's
@@ -697,7 +869,7 @@ def encode_plane_b(
     lv_e, md_e, mv_e, rec_e = encode_plane(
         plane[::2], qp_map[::2], gop=0, me_radius=ref_radius, me_step=me_step,
         me_halfpel=me_halfpel, force_intra=jnp.asarray(fi), multi_ref=multi_ref,
-        deblock=deblock,
+        deblock=deblock, intra_pred=intra_pred,
     )
 
     by, bx = qp_map.shape[1], qp_map.shape[2]

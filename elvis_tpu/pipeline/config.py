@@ -151,7 +151,10 @@ class ElvisConfig:
     nvc_me_radius: int = 4             # NVC: per-frame motion budget in pels
                                        # (>7 engages the hierarchical search)
     nvc_multi_ref: bool = False        # NVC: two-reference P prediction
-    nvc_deblock: bool = False          # NVC: in-loop deblocking filter
+    nvc_deblock: bool = True           # NVC: in-loop deblocking filter
+                                       # (default ON since r4 — measured Pareto)
+    nvc_intra_pred: bool = True        # NVC: spatial intra prediction on
+                                       # keyframes (DC/vert/gradient, r4)
     saliency_backend: str = "motion_contrast"
     # Backend lists drive the restoration approach rows (restore.backends):
     # the first entry fills the reference's label for that slot, extra

@@ -567,6 +567,7 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         quality=config.quality_preset, nvc_b_frames=config.nvc_b_frames,
         nvc_me_radius=config.nvc_me_radius, nvc_multi_ref=config.nvc_multi_ref,
         nvc_deblock=config.nvc_deblock,
+        nvc_intra_pred=config.nvc_intra_pred,
     )
     # ~1-second keyframe interval like the reference's `-g framerate`
     # (elvis.py:1298) — bounds seek/error propagation.

@@ -67,7 +67,12 @@ def main() -> int:
                     help="override a transform-module constant, NAME=FLOAT")
     ap.add_argument("--b-frames", action="store_true")
     ap.add_argument("--multi-ref", action="store_true")
-    ap.add_argument("--deblock", action="store_true")
+    ap.add_argument("--gop", type=int, default=8,
+                    help="intra period (short gop = I-frame-heavy stream)")
+    # deblock / spatial intra prediction default ON since round 4;
+    # the --no-* switches A/B the r3 behaviour
+    ap.add_argument("--no-deblock", dest="deblock", action="store_false")
+    ap.add_argument("--no-intra-pred", dest="intra_pred", action="store_false")
     ap.add_argument("--json", default=None, help="also dump rows to this path")
     ap.add_argument("--tpu", action="store_true",
                     help="run on the real chip (default: force CPU — the "
@@ -94,9 +99,9 @@ def main() -> int:
     for name, clip in contents().items():
         for qp in args.qps:
             stream = nvc.encode(
-                clip, qp=qp, gop=8, me_radius=4,
+                clip, qp=qp, gop=args.gop, me_radius=4,
                 b_frames=args.b_frames, multi_ref=args.multi_ref,
-                deblock=args.deblock,
+                deblock=args.deblock, intra_pred=args.intra_pred,
             )
             dec, _ = nvc.decode(stream)
             rows.append({"content": name, "qp": qp, "bytes": len(stream),
