@@ -25,6 +25,38 @@ class TestResize:
             m = R.resize_matrix(dst, src, "area")
             np.testing.assert_allclose(m.sum(axis=1), 1.0, atol=1e-12)
 
+    def test_fast_paths_match_dense_matrices(self):
+        """The r4 tap/reshape fast paths (exact 2x upscale, integer-factor
+        area) must reproduce the dense (dst,src) matmuls — same weights,
+        same f32 accumulation, only the op count differs (the dense
+        matrices are >99% zeros; at 4K they dominated the progressive
+        loop, VERDICT r3 #4)."""
+        rng = np.random.default_rng(0)
+        x = (rng.random((2, 24, 36, 3)) * 255).astype(np.float32)
+
+        def dense(images, out_hw, method):
+            ah = jnp.asarray(R.resize_matrix(out_hw[0], images.shape[1], method),
+                             jnp.float32)
+            aw = jnp.asarray(R.resize_matrix(out_hw[1], images.shape[2], method),
+                             jnp.float32)
+            y = jnp.einsum("oh,...hwc->...owc", ah, jnp.asarray(images),
+                           precision=R._PRECISION)
+            return np.asarray(jnp.einsum("pw,...hwc->...hpc", aw, y,
+                                         precision=R._PRECISION))
+
+        for method in ("linear", "lanczos4"):
+            got = np.asarray(R.resize(jnp.asarray(x), (48, 72), method=method))
+            np.testing.assert_allclose(got, dense(x, (48, 72), method),
+                                       atol=2e-3)
+        for out in ((12, 18), (6, 9), (12, 36), (3, 4)):
+            got = np.asarray(R.resize(jnp.asarray(x), out, method="area"))
+            np.testing.assert_allclose(got, dense(x, out, "area"), atol=2e-3)
+        # uint8 + channel-less maps route through the same fast paths
+        u8 = (rng.random((2, 8, 12)) * 255).astype(np.uint8)
+        got = np.asarray(R.resize(jnp.asarray(u8), (16, 24), method="lanczos4",
+                                  channels=False))
+        assert got.shape == (2, 16, 24) and got.dtype == np.uint8
+
     def test_linear_identity(self):
         m = R.resize_matrix(16, 16, "linear")
         np.testing.assert_allclose(m, np.eye(16))
