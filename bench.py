@@ -85,13 +85,21 @@ def main() -> int:
     )
     float(client(degraded, levels))  # compile + run
 
-    iters = 10
-    t0 = time.time()
-    acc = 0.0
-    for _ in range(iters):
-        acc += float(client(degraded, levels))
-    dt = (time.time() - t0) / iters
-    fps = n / dt
+    def timed_fps(fn, args, frames, iters, reps=3):
+        """Repeat the measurement `reps` times -> (mean fps, std fps).
+        The ~8% round-to-round drift seen in r1-r3 benches was
+        indistinguishable from a regression without a spread estimate
+        (VERDICT r3 #9)."""
+        acc = 0.0
+        vals = []
+        for _ in range(reps):
+            t0 = time.time()
+            for _ in range(iters):
+                acc += float(fn(*args))
+            vals.append(frames / ((time.time() - t0) / iters))
+        return float(np.mean(vals)), float(np.std(vals))
+
+    fps, fps_std = timed_fps(client, (degraded, levels), n, iters=10)
 
     # Quality vs the classical baseline on held-out natural content (the
     # reference's flagship claim shape: trained ESRGAN > Lanczos,
@@ -112,16 +120,17 @@ def main() -> int:
                 "photo_dssim_vs_lanczos": res["dssim_mean"],
                 "photo_eval_crops": res["n"],
             }
-        # quality tier ('srnet_ensemble': every shipped SR tier's output
-        # averaged — compact + RRDB + large; their errors decorrelate and
-        # the ensemble measures above the best single model on the
-        # multi-crop holdout): the slower/better row, reported alongside
-        # the serving tier's — with its own fps
+        # quality tier: the measured-best resolution (r4: the distilled
+        # 'srnet_student' — ensemble-class quality at ONE forward pass —
+        # when shipped; else 'srnet_ensemble', compact + RRDB + large
+        # averaged): the slower/better row, reported alongside the
+        # serving tier's — with its own fps
         from elvis_tpu.pipeline.config import ElvisConfig
         from elvis_tpu.restore.backends import _srnet_upsampler
 
-        q_up, q_prov = _srnet_upsampler(ElvisConfig(), which="srnet_ensemble")
-        if q_up is not None and "ensemble" in q_prov:
+        q_up, q_prov = _srnet_upsampler(ElvisConfig())
+        quality["quality_tier"] = q_prov.split(":")[0].split("[")[0]
+        if q_up is not None and ("ensemble" in q_prov or "student" in q_prov):
             qres = sr_photo_eval_multi(q_up, with_codec_noise=False)
             if qres.get("n"):
                 quality["quality_tier_photo_dpsnr_db_vs_lanczos"] = qres["dpsnr_mean"]
@@ -133,23 +142,25 @@ def main() -> int:
                 )
             )
             float(q_client(degraded, levels))  # compile
-            t0 = time.time()
-            for _ in range(5):
-                acc += float(q_client(degraded, levels))
-            quality["quality_tier_fps_1080p"] = round(n / ((time.time() - t0) / 5), 2)
-        # second, fully-INDEPENDENT holdout (pygame's 'camera' tutorial
-        # photo — part of NO training rotation): guards the headline
-        # against photo-family selection effects
-        res2 = sr_photo_eval_multi(upsample, source="camera", size=128,
-                                   with_codec_noise=False)
-        if res2.get("n"):
-            quality["camera_dpsnr_db_vs_lanczos"] = res2["dpsnr_mean"]
-            quality["camera_dpsnr_std"] = res2["dpsnr_std"]
-        if q_up is not None and "ensemble" in q_prov:
-            qres2 = sr_photo_eval_multi(q_up, source="camera", size=128,
-                                        with_codec_noise=False)
-            if qres2.get("n"):
-                quality["quality_tier_camera_dpsnr_db_vs_lanczos"] = qres2["dpsnr_mean"]
+            q_fps, q_std = timed_fps(q_client, (degraded, levels), n, iters=5)
+            quality["quality_tier_fps_1080p"] = round(q_fps, 2)
+            quality["quality_tier_fps_1080p_std"] = round(q_std, 2)
+        # fully-INDEPENDENT holdouts (in NO training rotation): pygame's
+        # 'camera' tutorial photo and gymnasium_robotics' 'marble_tile'
+        # stone photograph — n>=2 independent sources guard the headline
+        # against photo-family selection effects (VERDICT r3 #3)
+        for src, size in (("camera", 128), ("marble_tile", 192)):
+            res2 = sr_photo_eval_multi(upsample, source=src, size=size,
+                                       with_codec_noise=False)
+            if res2.get("n"):
+                quality[f"{src}_dpsnr_db_vs_lanczos"] = res2["dpsnr_mean"]
+                quality[f"{src}_dpsnr_std"] = res2["dpsnr_std"]
+            if q_up is not None:
+                qres2 = sr_photo_eval_multi(q_up, source=src, size=size,
+                                            with_codec_noise=False)
+                if qres2.get("n"):
+                    quality[f"quality_tier_{src}_dpsnr_db_vs_lanczos"] = (
+                        qres2["dpsnr_mean"])
     except Exception:
         pass  # throughput metric stands alone if eval content is missing
 
@@ -174,10 +185,9 @@ def main() -> int:
             )
         )
         float(c4(deg4, lev4))
-        t0 = time.time()
-        for _ in range(5):
-            float(c4(deg4, lev4))
-        fps_4k = round(2 / ((time.time() - t0) / 5), 2)
+        f4, f4_std = timed_fps(c4, (deg4, lev4), 2, iters=5)
+        fps_4k = round(f4, 2)
+        quality["serving_tier_fps_4k_std"] = round(f4_std, 2)
     except Exception:
         pass
     if fps_4k:
@@ -189,6 +199,7 @@ def main() -> int:
             {
                 "metric": "neural_progressive_restore_fps_1080p_per_chip",
                 "value": round(fps, 2),
+                "value_std": round(fps_std, 2),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / baseline_fps, 2),
                 **quality,

@@ -100,19 +100,35 @@ def _srnet_upsampler(config, which: Optional[str] = None) -> Tuple[Optional[Call
     (mathematically identical to a zero-init SRNet, without the FLOPs).
 
     ``which`` pins a tier: 'srnet' (RRDB), 'srnet_compact' (serving),
-    'srnet_large' (scaled conv stack), or 'srnet_ensemble' (the QUALITY
-    tier: every available tier's output averaged — their errors
-    decorrelate, measured above the best single model on the multi-crop
-    photo holdout, docs/DESIGN.md). Generic slots (None) take the
-    MEASURED-BEST tier on that holdout (re-ordered whenever retraining
-    changes the ranking), so the reference's RealESRGAN slot defaults to
-    what actually wins."""
+    'srnet_large' (scaled conv stack), 'srnet_student' (the round-4
+    QUALITY tier: one conv stack distilled from the ensemble,
+    train.cli.train_srnet_student — ensemble-class quality at one
+    forward pass), or 'srnet_ensemble' (compact + RRDB + large
+    averaged — three passes; the round-3 quality tier, still the
+    fallback when the student checkpoint is absent). Generic slots
+    (None) take the MEASURED-BEST tier on the multi-crop photo holdout
+    (re-ordered whenever retraining changes the ranking), so the
+    reference's RealESRGAN slot defaults to what actually wins."""
     from elvis_tpu.models import SRNet, SRNetCompact, SRNetLarge, srnet_upsample_fn
     from elvis_tpu.models.io import load_params
 
     auto = getattr(config, "auto_load_checkpoints", True)
     tiers = {"srnet": SRNet, "srnet_compact": SRNetCompact,
-             "srnet_large": SRNetLarge}
+             "srnet_large": SRNetLarge, "srnet_student": None}
+
+    def _student_model(path):
+        """The student's width/depth live in its sibling meta file (the
+        same conditioning-contract pattern as deblur.meta.json)."""
+        feats, convs = 128, 10
+        meta_path = path.rstrip("/") + ".meta.json"
+        if os.path.isfile(meta_path):
+            import json
+
+            with open(meta_path) as fh:
+                m = json.load(fh)
+            feats = int(m.get("features", feats))
+            convs = int(m.get("num_convs", convs))
+        return SRNetCompact(features=feats, num_convs=convs)
 
     def finish(fn, prov):
         """realesrgan_fp32 (elvis.py:2384-2493): force full-precision
@@ -131,7 +147,7 @@ def _srnet_upsampler(config, which: Optional[str] = None) -> Tuple[Optional[Call
         path = default_params_path(name, config.srnet_params_path, auto)
         if not path:
             return None, ""
-        model = tiers[name]()
+        model = _student_model(path) if name == "srnet_student" else tiers[name]()
         params = load_params(model, path, jnp.zeros((1, 16, 16, 3)))
         return srnet_upsample_fn(model, params), path
 
@@ -162,7 +178,16 @@ def _srnet_upsampler(config, which: Optional[str] = None) -> Tuple[Optional[Call
             return finish(fn, prov)
         # fall through to single tiers when one checkpoint is missing
     # measured-best first (bench.py re-measures every tier every round):
-    # ensemble > large > compact > rrdb on the multi-crop photo holdout
+    # student > ensemble > large > compact > rrdb on the multi-crop photo
+    # holdout (r4: the distilled student matches the ensemble at one
+    # forward pass and wins on the independent holdouts)
+    if not config.srnet_params_path:
+        try:
+            fn, path = load_tier("srnet_student")
+            if fn is not None:
+                return finish(fn, f"srnet_student:{path}")
+        except Exception:
+            pass
     fn, prov = load_ensemble()
     if fn is not None:
         return finish(fn, prov)
@@ -214,13 +239,14 @@ def resolve_sr_backend(name: str, config) -> Tuple[BackendFn, str]:
         )
     if name == "lanczos":
         return restore_downsample_lanczos, "lanczos"
-    if name in ("srnet", "srnet_compact", "srnet_large", "srnet_ensemble",
-                "ensemble", "progressive_neural", "realesrgan"):
+    if name in ("srnet", "srnet_compact", "srnet_large", "srnet_student",
+                "srnet_ensemble", "ensemble", "progressive_neural",
+                "realesrgan"):
         up, prov = _srnet_upsampler(
             config,
             which=name
             if name in ("srnet", "srnet_compact", "srnet_large",
-                        "srnet_ensemble", "ensemble")
+                        "srnet_student", "srnet_ensemble", "ensemble")
             else None,
         )
         if up is None:

@@ -16,6 +16,7 @@ import time
 __all__ = [
     "train_srnet",
     "train_srnet_compact",
+    "train_srnet_student",
     "train_deblur",
     "train_inpaint",
     "train_saliency",
@@ -38,7 +39,9 @@ def _train_sr(model, tag: str, steps: int, ckpt_dir: str, lr: float, batch: int,
               patch: int, log_every: int, block_size: int,
               natural_fraction: float = 0.75, photo_fraction: float = 0.0,
               ema_decay: float = 0.999, val_every: int = 0,
-              photos: tuple = ("china", "flower"), weight_decay: float = 1e-4):
+              photos: tuple = ("china", "flower"), weight_decay: float = 1e-4,
+              structured_fraction: float = 0.0, teacher_up=None,
+              distill_weight: float = 1.0):
     """Train a 2x upsampler THROUGH the progressive restoration loop.
 
     Per-stage SR training does not compose: the deployed model runs
@@ -54,6 +57,14 @@ def _train_sr(model, tag: str, steps: int, ckpt_dir: str, lr: float, batch: int,
     on band-limited synthetic content Lanczos is already near-optimal and
     there is nothing to learn (the round-1 blocker); on occlusion-edge
     content the learned edge prior has real headroom.
+
+    ``structured_fraction`` mixes in the text/architecture procedural
+    family (train.data.structured_frames — the round-3 off-corpus
+    failure statistics). ``teacher_up`` (a 2x upsample callable, e.g.
+    the shipped ensemble) adds a distillation term: the student's loop
+    output must ALSO match the teacher's loop output, weighted
+    ``distill_weight`` (VERDICT r3 #2 — one student instead of three
+    forward passes).
     """
     import jax
     import jax.numpy as jnp
@@ -63,7 +74,7 @@ def _train_sr(model, tag: str, steps: int, ckpt_dir: str, lr: float, batch: int,
     from elvis_tpu.train import Trainer
     from elvis_tpu.train.data import (
         codec_noise, natural_frames, photo_patch_pool, photometric_augment,
-        synthetic_frames)
+        structured_frames, synthetic_frames)
 
     params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, patch // 2, patch // 2, 3)))
     max_level = 3  # static stage count: factors up to 8x
@@ -78,13 +89,19 @@ def _train_sr(model, tag: str, steps: int, ckpt_dir: str, lr: float, batch: int,
 
     @jax.jit
     def make_batch(rng):
-        k1, k2, k3, k4, k5, k6, k7, k8 = jax.random.split(rng, 8)
+        ks = jax.random.split(rng, 10)
+        k1, k2, k3, k4, k5, k6, k7, k8, k9, k10 = ks
         # natural-statistics vs legacy band-limited content mix
         clean = jnp.where(
             jax.random.bernoulli(k4, natural_fraction, (batch, 1, 1, 1)),
             natural_frames(k1, batch, patch, patch),
             synthetic_frames(k5, batch, patch, patch),
         )
+        if structured_fraction > 0:
+            clean = jnp.where(
+                jax.random.bernoulli(k9, structured_fraction, (batch, 1, 1, 1)),
+                structured_frames(k10, batch, patch, patch), clean,
+            )
         if pool is not None:
             photo = pool[jax.random.randint(k6, (batch,), 0, pool.shape[0])]
             clean = jnp.where(
@@ -92,22 +109,34 @@ def _train_sr(model, tag: str, steps: int, ckpt_dir: str, lr: float, batch: int,
                 photo, clean,
             )
         # photometric jitter on the clean source (round-3 anti-overfit
-        # lever: the photo pool is two images; gamma/gain/cast jitter
-        # multiplies its effective diversity)
+        # lever: the photo pool is a handful of images; gamma/gain/cast
+        # jitter multiplies its effective diversity)
         clean = photometric_augment(k8, clean)
         scores = jax.random.uniform(k2, (batch, patch // block_size, patch // block_size))
         degraded, levels = adaptive_downsample(clean, scores, block_size)
         degraded = codec_noise(k3, degraded, block_size)
+        if teacher_up is not None:
+            # teacher runs in the (jitted, grad-free) batch maker: the
+            # backward pass never sees the three teacher networks
+            teacher = progressive_restore(
+                degraded, levels, block_size, upsample_fn=teacher_up,
+                max_level=max_level,
+            )
+            return clean, degraded, levels, teacher
         return clean, degraded, levels
 
     def loss_fn(p, data, rng):
-        clean, degraded, levels = data
+        clean, degraded, levels = data[:3]
         restored = progressive_restore(
             degraded, levels, block_size,
             upsample_fn=lambda f: model.apply(p, f),
             max_level=max_level,
         )
-        return jnp.mean((restored - clean) ** 2) / 255.0**2
+        loss = jnp.mean((restored - clean) ** 2) / 255.0**2
+        if teacher_up is not None:
+            loss = loss + distill_weight * jnp.mean(
+                (restored - data[3]) ** 2) / 255.0**2
+        return loss
 
     import optax
 
@@ -197,26 +226,101 @@ def _train_sr(model, tag: str, steps: int, ckpt_dir: str, lr: float, batch: int,
     return trainer
 
 
+# r4 default corpus: the two sklearn photos PLUS the gymnasium_robotics
+# texture photographs (wood/tile/marble/metal) and the structured
+# text/architecture procedural family — the off-corpus generalization
+# levers (VERDICT r3 #3).
+_R4_PHOTOS = ("china", "flower", "wood", "tile", "marble", "metal")
+_R4_STRUCTURED = 0.18
+
+
 def train_srnet(steps: int, ckpt_dir: str, lr: float = 1e-4, batch: int = 16, patch: int = 64,
                 log_every: int = 50, block_size: int = 8,
                 photo_fraction: float = 0.5, val_every: int = 0,
-                photos: tuple = ("china", "flower")):
+                photos: tuple = _R4_PHOTOS,
+                structured_fraction: float = _R4_STRUCTURED):
     from elvis_tpu.models import SRNet
 
     return _train_sr(SRNet(), "srnet", steps, ckpt_dir, lr, batch, patch,
                      log_every, block_size, photo_fraction=photo_fraction,
-                     val_every=val_every, photos=photos)
+                     val_every=val_every, photos=photos,
+                     structured_fraction=structured_fraction)
 
 
 def train_srnet_compact(steps: int, ckpt_dir: str, lr: float = 4e-4, batch: int = 16,
                         patch: int = 64, log_every: int = 50, block_size: int = 8,
                         photo_fraction: float = 0.5, val_every: int = 0,
-                        photos: tuple = ("china", "flower")):
+                        photos: tuple = _R4_PHOTOS,
+                        structured_fraction: float = _R4_STRUCTURED):
     from elvis_tpu.models import SRNetCompact
 
     return _train_sr(SRNetCompact(), "srnet_compact", steps, ckpt_dir, lr, batch,
                      patch, log_every, block_size, photo_fraction=photo_fraction,
-                     val_every=val_every, photos=photos)
+                     val_every=val_every, photos=photos,
+                     structured_fraction=structured_fraction)
+
+
+def train_srnet_student(steps: int, ckpt_dir: str, lr: float = 2e-4,
+                        batch: int = 16, patch: int = 64, log_every: int = 50,
+                        block_size: int = 8, photo_fraction: float = 0.5,
+                        val_every: int = 0, features: int = 128,
+                        num_convs: int = 10, distill_weight: float = 1.0,
+                        structured_fraction: float = 0.18,
+                        photos: tuple = ("china", "flower", "wood", "tile",
+                                         "marble", "metal")):
+    """Distill the 'srnet_ensemble' quality tier (compact + RRDB + large
+    averaged — three forward passes) into ONE student conv stack
+    (VERDICT r3 #2): trained against ground truth AND the ensemble's
+    through-loop output on the widened corpus (real texture photos +
+    the structured text/architecture family). The student replaces the
+    ensemble wherever it measures at least as good, at ~8x the speed.
+
+    The architecture (features x num_convs, SRNetCompact family — the
+    family that generalizes off-corpus where RRDB overfits) is recorded
+    in ``srnet_student.meta.json`` so the loader can reconstruct it.
+    """
+    import json
+    import os
+
+    import jax.numpy as jnp
+
+    from elvis_tpu.models import SRNet, SRNetCompact, SRNetLarge
+    from elvis_tpu.models.io import load_params
+
+    student = SRNetCompact(features=features, num_convs=num_convs)
+
+    from elvis_tpu.models.io import default_checkpoint_dir
+
+    teachers = []
+    for name, make in (("srnet_compact", SRNetCompact),
+                       ("srnet", SRNet), ("srnet_large", SRNetLarge)):
+        # a freshly-retrained teacher in ckpt_dir wins; else the shipped one
+        path = os.path.join(ckpt_dir or "checkpoints", name)
+        if not os.path.isdir(path):
+            path = os.path.join(default_checkpoint_dir(), name)
+        if not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"teacher checkpoint {name} missing — train the tiers first")
+        m = make()
+        teachers.append((m, load_params(m, path, jnp.zeros((1, 16, 16, 3)))))
+    k = float(len(teachers))
+
+    def teacher_up(f):
+        return sum(m.apply(p, f) for m, p in teachers) / k
+
+    trainer = _train_sr(
+        student, "srnet_student", steps, ckpt_dir, lr, batch, patch,
+        log_every, block_size, photo_fraction=photo_fraction,
+        val_every=val_every, photos=photos, teacher_up=teacher_up,
+        distill_weight=distill_weight,
+        structured_fraction=structured_fraction,
+    )
+    if ckpt_dir:
+        with open(os.path.join(ckpt_dir, "srnet_student.meta.json"), "w") as fh:
+            json.dump({"features": features, "num_convs": num_convs,
+                       "teachers": ["srnet_compact", "srnet", "srnet_large"],
+                       "distill_weight": distill_weight}, fh)
+    return trainer
 
 
 def train_deblur(steps: int, ckpt_dir: str, lr: float = 2e-4, batch: int = 8, patch: int = 64,
@@ -625,6 +729,7 @@ def train_saliency(steps: int, ckpt_dir: str, lr: float = 1e-3, frames: int = 8,
 _TRAINERS = {
     "srnet": train_srnet,
     "srnet_compact": train_srnet_compact,
+    "srnet_student": train_srnet_student,
     "deblur": train_deblur,
     "diffusion": train_diffusion,
     "inpaint": train_inpaint,
@@ -645,12 +750,20 @@ def main(argv=None) -> int:
     p.add_argument("--val-every", type=int, default=0,
                    help="EMA + best-checkpoint selection on the held-out "
                         "photo strip every N steps (srnet*/deblur/diffusion)")
+    p.add_argument("--features", type=int, default=None,
+                   help="student conv width (srnet_student only)")
+    p.add_argument("--num-convs", type=int, default=None,
+                   help="student conv depth (srnet_student only)")
     args = p.parse_args(argv)
     kw = dict(lr=args.lr)
     import inspect
 
-    if "val_every" in inspect.signature(_TRAINERS[args.model]).parameters:
+    sig = inspect.signature(_TRAINERS[args.model]).parameters
+    if "val_every" in sig:
         kw["val_every"] = args.val_every
+    for extra in ("features", "num_convs"):
+        if getattr(args, extra) is not None and extra in sig:
+            kw[extra] = getattr(args, extra)
     _TRAINERS[args.model](args.steps, args.ckpt_dir, **kw)
     return 0
 

@@ -24,6 +24,7 @@ __all__ = [
     "fractal_noise",
     "natural_frames",
     "natural_video_batch",
+    "structured_frames",
     "codec_noise",
     "photo_patch_pool",
     "photo_video_batch",
@@ -203,6 +204,96 @@ def natural_frames(rng, batch: int, height: int, width: int) -> jnp.ndarray:
     return jnp.clip(base + tex + gy * yy + gx * xx + noise, 0.0, 255.0)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def structured_frames(rng, batch: int, height: int, width: int) -> jnp.ndarray:
+    """Text- and architecture-like procedural content — the round-3
+    off-corpus failure mode (VERDICT r3 #4: the 'china' rotation and its
+    repetitive pagoda-roof / text-band structure measured only +0.3 dB;
+    the dead-leaves corpus contains no periodic thin structure at all).
+
+    Three families, drawn per sample:
+      * lattice — product of two square waves at a small random skew
+        (windows, mosaic tile, brick with alternate-row offset);
+      * glyph rows — a random-bit ink grid sampled at a random per-sample
+        scale, masked into text lines and word gaps;
+      * thin gratings — one or two superposed hard square waves at
+        arbitrary angles with low duty cycles (railings, branches,
+        roof ridges).
+    All are hard-edged and periodic: exactly the statistics area
+    downsampling destroys and Lanczos cannot recover.
+    Returns (B,H,W,3) float32 in [0,255].
+    """
+    keys = jax.random.split(rng, 20)
+    B = batch
+    yy = jnp.arange(height, dtype=jnp.float32)[None, :, None]
+    xx = jnp.arange(width, dtype=jnp.float32)[None, None, :]
+
+    def square(t, duty):
+        return ((t - jnp.floor(t)) < duty).astype(jnp.float32)
+
+    # --- family 0: lattice (windows / tile / brick) ---
+    py = jax.random.uniform(keys[0], (B, 1, 1), minval=5.0, maxval=40.0)
+    px = jax.random.uniform(keys[1], (B, 1, 1), minval=5.0, maxval=40.0)
+    duty_y = jax.random.uniform(keys[2], (B, 1, 1), minval=0.45, maxval=0.9)
+    duty_x = jax.random.uniform(keys[3], (B, 1, 1), minval=0.45, maxval=0.9)
+    ang = jax.random.uniform(keys[4], (B, 1, 1), minval=-0.15, maxval=0.15)
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    u = (c * xx - s * yy) / px
+    v = (s * xx + c * yy) / py
+    brick = jax.random.bernoulli(keys[5], 0.5, (B, 1, 1)).astype(jnp.float32)
+    u = u + 0.5 * brick * (jnp.floor(v) % 2.0)
+    lattice = square(u, duty_x) * square(v, duty_y)
+
+    # --- family 1: glyph rows (text) ---
+    hc, wc = max(height // 4, 8), max(width // 4, 8)
+    bits = jax.random.bernoulli(keys[6], 0.55, (B, hc, wc)).astype(jnp.float32)
+    # per-sample glyph scale: 2-7 px per ink cell
+    sy = jax.random.uniform(keys[7], (B,), minval=0.15, maxval=0.5)
+    sx = jax.random.uniform(keys[8], (B,), minval=0.15, maxval=0.5)
+
+    def sample_bits(bits_b, sy_b, sx_b):
+        iy = (jnp.arange(height, dtype=jnp.float32) * sy_b).astype(jnp.int32) % hc
+        ix = (jnp.arange(width, dtype=jnp.float32) * sx_b).astype(jnp.int32) % wc
+        return bits_b[iy][:, ix]
+
+    glyph = jax.vmap(sample_bits)(bits, sy, sx)  # (B,H,W)
+    line_pitch = jax.random.uniform(keys[9], (B, 1, 1), minval=7.0, maxval=26.0)
+    word_pitch = jax.random.uniform(keys[10], (B, 1, 1), minval=20.0, maxval=80.0)
+    glyph = glyph * square(yy / line_pitch, 0.62) * square(xx / word_pitch, 0.86)
+
+    # --- family 2: thin gratings (railings / branches / ridges) ---
+    ga = jax.random.uniform(keys[11], (B, 1, 1), minval=0.0, maxval=3.14159)
+    gp = jax.random.uniform(keys[12], (B, 1, 1), minval=4.0, maxval=28.0)
+    gd = jax.random.uniform(keys[13], (B, 1, 1), minval=0.1, maxval=0.35)
+    t1 = (jnp.cos(ga) * xx + jnp.sin(ga) * yy) / gp
+    ga2 = ga + jax.random.uniform(keys[14], (B, 1, 1), minval=0.8, maxval=2.3)
+    gp2 = jax.random.uniform(keys[15], (B, 1, 1), minval=6.0, maxval=40.0)
+    t2 = (jnp.cos(ga2) * xx + jnp.sin(ga2) * yy) / gp2
+    second = jax.random.bernoulli(keys[16], 0.5, (B, 1, 1)).astype(jnp.float32)
+    grating = jnp.maximum(square(t1, gd), second * square(t2, gd))
+
+    fam = jax.random.randint(keys[17], (B, 1, 1), 0, 3)
+    mask = jnp.where(fam == 0, lattice, jnp.where(fam == 1, glyph, grating))
+
+    ink = jax.random.uniform(keys[18], (B, 1, 1, 3), minval=5.0, maxval=250.0)
+    paper = jax.random.uniform(keys[19], (B, 1, 1, 3), minval=5.0, maxval=250.0)
+    # keep ink/paper contrast real (>=60 luma apart)
+    gap = jnp.abs(ink.mean(-1, keepdims=True) - paper.mean(-1, keepdims=True))
+    ink = jnp.where(gap < 60.0, jnp.where(paper > 127.0, paper - 90.0, paper + 90.0), ink)
+    img = paper + (ink - paper) * mask[..., None]
+    # smooth illumination + in-material fractal texture + sensor noise,
+    # same finishing as natural_frames
+    k1, k2, k3 = jax.random.split(keys[17], 3)
+    tex = 8.0 * fractal_noise(k1, batch, height, width)
+    gy = jax.random.uniform(k2, (B, 1, 1, 1), minval=-18.0, maxval=18.0)
+    gx = jax.random.uniform(k2, (B, 1, 1, 1), minval=-18.0, maxval=18.0)
+    yl = jnp.linspace(-1, 1, height)[None, :, None, None]
+    xl = jnp.linspace(-1, 1, width)[None, None, :, None]
+    sigma = jax.random.uniform(k3, (B, 1, 1, 1), minval=0.0, maxval=2.5)
+    noise = sigma * jax.random.normal(k3, (B, height, width, 3))
+    return jnp.clip(img + tex + gy * yl + gx * xl + noise, 0.0, 255.0)
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def codec_noise(rng, frames: jnp.ndarray, block: int = 8) -> jnp.ndarray:
     """Codec-artifact augmentation: blockwise DCT quantize/dequantize at a
@@ -283,6 +374,13 @@ def photo_patch_pool(
     each photo, ``train=False`` the remaining right strip — a held-out
     VALIDATION region for checkpoint selection that shares no pixels
     with training. Returns a host numpy array (callers device_put once).
+
+    Besides the sklearn/matplotlib photographs, real TEXTURE photographs
+    bundled with gymnasium_robotics are accepted (round 4, the
+    off-corpus lever): ``wood`` (bamboo planks), ``tile`` (mosaic — the
+    'china'-style repetitive lattice statistics), ``marble``, ``metal``.
+    The pygame ``camera`` photo and the ``marble_tile`` stone photo stay
+    out of EVERY training rotation (bench holdouts).
     """
     import os
 
@@ -291,7 +389,8 @@ def photo_patch_pool(
     import sklearn
 
     base = os.path.join(os.path.dirname(sklearn.__file__), "datasets", "images")
-    val_x = 480
+    _TEXTURES = {"wood": "wood1.png", "tile": "tile1.png",
+                 "marble": "marble1.png", "metal": "metal1.png"}
 
     def _open(name):
         if name == "grace_hopper":
@@ -299,12 +398,24 @@ def photo_patch_pool(
 
             return Image.open(os.path.join(
                 os.path.dirname(matplotlib.__file__), "mpl-data", "sample_data",
-                "grace_hopper.jpg")).convert("RGB")
-        return Image.open(os.path.join(base, f"{name}.jpg")).convert("RGB")
+                "grace_hopper.jpg")).convert("RGB"), 480
+        if name in _TEXTURES:
+            import contextlib
+            import io
+
+            with contextlib.redirect_stdout(io.StringIO()):
+                import gymnasium_robotics  # prints a version notice
+
+            img = Image.open(os.path.join(
+                os.path.dirname(gymnasium_robotics.__file__), "envs", "assets",
+                "kitchen_franka", "kitchen_assets", "textures",
+                _TEXTURES[name])).convert("RGB")
+            return img, int(0.75 * img.size[0])
+        return Image.open(os.path.join(base, f"{name}.jpg")).convert("RGB"), 480
 
     arrs = []
     for name in photos:
-        img = _open(name)
+        img, val_x = _open(name)
         w, h = img.size
         for s in (1.0, 0.85, 0.7, 0.55, 0.4):
             im2 = img if s == 1.0 else img.resize(

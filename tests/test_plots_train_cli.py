@@ -78,6 +78,67 @@ class TestTrainCli:
         assert main(["inpaint", "--steps", "2", "--ckpt-dir", str(tmp_path)]) == 0
         assert main(["saliency", "--steps", "2", "--ckpt-dir", str(tmp_path)]) == 0
 
+    def test_train_srnet_student_distills(self, tmp_path):
+        """The student trainer needs the three teacher checkpoints; a few
+        steps must produce a checkpoint + meta json that the backend
+        loader can resolve (VERDICT r3 #2)."""
+        import json
+        import os
+
+        import pytest
+
+        from elvis_tpu.models.io import default_checkpoint_dir
+        from elvis_tpu.train.cli import main
+
+        root = default_checkpoint_dir()
+        for t in ("srnet", "srnet_compact", "srnet_large"):
+            if not os.path.isdir(os.path.join(root, t)):
+                pytest.skip("shipped teacher checkpoints not present")
+        # teachers load from the shipped checkpoints dir; the student
+        # trainer reads them from ckpt_dir, so point it at the repo's
+        import shutil
+
+        for t in ("srnet", "srnet_compact", "srnet_large"):
+            shutil.copytree(os.path.join(root, t), tmp_path / t)
+        rc = main(["srnet_student", "--steps", "2", "--ckpt-dir", str(tmp_path),
+                   "--features", "32", "--num-convs", "2"])
+        assert rc == 0
+        assert (tmp_path / "srnet_student").exists()
+        meta = json.loads((tmp_path / "srnet_student.meta.json").read_text())
+        assert meta["features"] == 32 and meta["num_convs"] == 2
+
+    def test_student_backend_loads_meta_architecture(self, tmp_path, monkeypatch):
+        """resolve_sr_backend('srnet_student') reconstructs the student
+        from its meta file (width/depth are free parameters)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        import orbax.checkpoint as ocp
+
+        from elvis_tpu.models import SRNetCompact
+        from elvis_tpu.pipeline.config import ElvisConfig
+        from elvis_tpu.restore import backends as B
+
+        model = SRNetCompact(features=24, num_convs=3)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                     jnp.zeros((1, 16, 16, 3)))
+        path = tmp_path / "srnet_student"
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(str(path), params)
+        ckptr.wait_until_finished()
+        (tmp_path / "srnet_student.meta.json").write_text(
+            '{"features": 24, "num_convs": 3}')
+        monkeypatch.setattr("elvis_tpu.models.io.default_checkpoint_dir",
+                            lambda: str(tmp_path))
+        fn, prov = B.resolve_sr_backend("srnet_student", ElvisConfig())
+        assert "srnet_student" in prov
+        frames = jnp.asarray(np.full((1, 16, 16, 3), 128, np.float32))
+        out = fn(frames, jnp.ones((1, 2, 2), jnp.int32), 8)
+        assert out.shape == frames.shape
+        # the generic slot now prefers the student over the ensemble
+        _, gprov = B.resolve_sr_backend("realesrgan", ElvisConfig())
+        assert "srnet_student" in gprov
+
 
 class TestPhotoPool:
     def test_pool_shapes_range_and_determinism(self):
@@ -118,3 +179,64 @@ class TestPhotoPool:
         # pools built from those regions exist for both splits
         assert photo_patch_pool(64, True, 8, 0).shape[0] == 8
         assert photo_patch_pool(64, False, 8, 0).shape[0] == 8
+
+    def test_texture_photo_sources(self):
+        """Round-4 corpus widening: the gymnasium_robotics texture
+        photographs (wood/tile/marble/metal) load into the pool with
+        their own 75% train / 25% val column split."""
+        import numpy as np
+
+        from elvis_tpu.train.data import photo_patch_pool
+
+        tr = photo_patch_pool(32, True, 16, 0, ("wood", "tile"))
+        va = photo_patch_pool(32, False, 16, 0, ("wood", "tile"))
+        assert tr.shape == (16, 32, 32, 3) and va.shape == (16, 32, 32, 3)
+        assert 0 <= tr.min() and tr.max() <= 255 and tr.std() > 5
+        assert not np.array_equal(tr, va)
+
+    def test_holdout_photos_not_in_training_sources(self):
+        """The bench holdouts (pygame camera, marble_tile) must stay
+        loadable yet absent from every photo_patch_pool source name."""
+        import inspect
+
+        from elvis_tpu.train import data
+        from elvis_tpu.train.evaluate import photo_image
+
+        assert photo_image("camera") is not None
+        assert photo_image("marble_tile") is not None
+        src = inspect.getsource(data.photo_patch_pool)
+        assert "camera_rgb" not in src and "white_marble_tile" not in src
+
+
+class TestStructuredFrames:
+    """The text/architecture procedural family (round 4, VERDICT r3 #4:
+    repetitive thin structure was absent from the corpus and the 'china'
+    rotation showed it)."""
+
+    def test_shapes_range_diversity(self):
+        import jax
+        import numpy as np
+
+        from elvis_tpu.train.data import structured_frames
+
+        x = np.asarray(structured_frames(jax.random.PRNGKey(0), 8, 64, 96))
+        assert x.shape == (8, 64, 96, 3)
+        assert x.min() >= 0 and x.max() <= 255
+        # every sample carries hard structure (ink/paper contrast >= 60
+        # by construction, so per-sample std is far from flat)
+        assert all(x[i].std() > 15 for i in range(8))
+        # samples differ (three families, random params)
+        assert np.std([x[i].mean() for i in range(8)]) > 1
+
+    def test_high_frequency_content(self):
+        """The family exists to carry energy area-downsampling destroys:
+        neighbour-pixel differences must be step-like, not band-limited
+        (compare against fractal texture at equal std)."""
+        import jax
+        import numpy as np
+
+        from elvis_tpu.train.data import structured_frames
+
+        x = np.asarray(structured_frames(jax.random.PRNGKey(1), 8, 64, 64))
+        dx = np.abs(np.diff(x, axis=2)).mean()
+        assert dx > 4.0, dx  # hard periodic edges everywhere

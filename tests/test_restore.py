@@ -338,9 +338,13 @@ class TestSrTierSelection:
         fn, prov = resolve_sr_backend("srnet_ensemble", self._cfg())
         assert "srnet_ensemble" in prov
         assert "srnet_compact" in prov and "checkpoints/srnet" in prov
-        # generic slot picks the measured-best tier (currently the ensemble)
+        # generic slot picks the measured-best tier: the distilled
+        # student when shipped (r4), else the ensemble
         _, gprov = resolve_sr_backend("realesrgan", self._cfg())
-        assert "srnet_ensemble" in gprov
+        if os.path.isdir(os.path.join(root, "srnet_student")):
+            assert "srnet_student" in gprov
+        else:
+            assert "srnet_ensemble" in gprov
         # the resolved restorer runs and preserves shape
         frames = jnp.asarray(np.full((1, 16, 16, 3), 128, np.float32))
         levels = jnp.ones((1, 2, 2), jnp.int32)
