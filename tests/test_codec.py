@@ -442,8 +442,8 @@ class TestMotionCompensation:
         code cheaper than the P-only chain at near-equal quality."""
         from elvis_tpu.codec import NvcCodec
 
-        frame = (rng.random((64, 144, 3)) * 200 + 20).astype(np.uint8)
-        pan = np.stack([np.roll(frame, 3 * t, axis=1) for t in range(8)])
+        frame = (rng.random((64, 96, 3)) * 200 + 20).astype(np.uint8)
+        pan = np.stack([np.roll(frame, 3 * t, axis=1) for t in range(6)])
         codec = NvcCodec()
         s_p = codec.encode(pan, qp=30, framerate=24.0, me_radius=4)
         s_b = codec.encode(pan, qp=30, framerate=24.0, me_radius=4, b_frames=True)
@@ -708,6 +708,7 @@ class TestMultiRefP:
 
 
 class TestBModeBitEstimate:
+    @pytest.mark.slow
     def test_bits_cost_beats_l1_on_occlusion(self, rng):
         """The calibrated bit-estimate B-mode decision (B_MODE_COST=
         'bits', mv charge scale 0.5) must beat the round-2 L1 proxy in
@@ -760,7 +761,7 @@ class TestChunkedEncode:
     path — it exists because a clip-sized scan holds every frame's
     coefficients in HBM (measured OOM at 128 frames @1080p)."""
 
-    def _clip(self, rng, n=9):
+    def _clip(self, rng, n=7):
         frame = (rng.random((48, 64, 3)) * 255).astype(np.uint8)
         return np.stack([np.roll(frame, 3 * t, axis=1) for t in range(n)])
 
@@ -773,11 +774,11 @@ class TestChunkedEncode:
         kw = dict(qp=30, framerate=24.0, gop=gop, me_radius=4,
                   multi_ref=multi_ref)
         single = nvc_codec.encode(clip, **kw)
-        chunked = nvc_codec.encode(clip, chunk_frames=4, **kw)
+        # chunk 3 over 7 frames = 3+3+1: covers the uneven tail segment
+        # in the same encode (was a second chunk_frames=2 encode; the
+        # non-slow suite budget, VERDICT r3 #8)
+        chunked = nvc_codec.encode(clip, chunk_frames=3, **kw)
         assert chunked == single
-        # uneven tail segment (9 = 2+2+2+2+1)
-        chunked2 = nvc_codec.encode(clip, chunk_frames=2, **kw)
-        assert chunked2 == single
 
     def test_chunked_decode_matches(self, rng, monkeypatch):
         from elvis_tpu.codec.nvc import codec as nvc_codec
