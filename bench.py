@@ -164,9 +164,25 @@ def main() -> int:
     except Exception:
         pass  # throughput metric stands alone if eval content is missing
 
-    # 4K row (single-chip; the 2D data x spatial mesh path covers multi-chip)
+    # 4K row (single-chip; the 2D data x spatial mesh path covers
+    # multi-chip). The 4K tier is the StagedUpsampler when its finisher
+    # checkpoint ships (full serving net on the cheap early stages, a
+    # narrow trained finisher on the final stage — the final stage is
+    # ~75% of the loop's FLOPs at 4K and capped plain-serving 4K at
+    # ~26 fps even at 100% MXU); else the plain serving net.
     fps_4k = None
     try:
+        from elvis_tpu.pipeline.config import ElvisConfig as _C
+        from elvis_tpu.restore.backends import _srnet_upsampler as _su
+
+        up4, prov4 = _su(_C(), which="srnet_4k")
+        if up4 is not None and "srnet_4k" in prov4:
+            quality["tier_4k"] = "srnet_4k"
+            q4 = sr_photo_eval_multi(up4, with_codec_noise=False)
+            if q4.get("n"):
+                quality["tier_4k_photo_dpsnr_db_vs_lanczos"] = q4["dpsnr_mean"]
+        else:
+            up4 = upsample
         h4, w4 = 2160, 3840
         yy4, xx4 = np.mgrid[0:h4, 0:w4].astype(np.float32)
         clip4 = np.stack(
@@ -180,7 +196,7 @@ def main() -> int:
         )
         c4 = jax.jit(
             lambda d, l: jnp.mean(
-                progressive_restore(d, l, b, upsample_fn=upsample,
+                progressive_restore(d, l, b, upsample_fn=up4,
                                     max_level=max_level)
             )
         )

@@ -137,11 +137,44 @@ def _srnet_upsampler(config, which: Optional[str] = None) -> Tuple[Optional[Call
         if fn is None or not getattr(config, "realesrgan_fp32", False):
             return fn, prov
 
-        def fp32(x):
-            with jax.default_matmul_precision("float32"):
-                return fn(x)
+        def wrap(g):
+            def fp32(x):
+                with jax.default_matmul_precision("float32"):
+                    return g(x)
 
-        return fp32, f"{prov}+fp32"
+            return fp32
+
+        from elvis_tpu.restore.progressive import StagedUpsampler
+
+        if isinstance(fn, StagedUpsampler):
+            return StagedUpsampler(wrap(fn.prefix), wrap(fn.final)), f"{prov}+fp32"
+        return wrap(fn), f"{prov}+fp32"
+
+    def load_4k():
+        """The 4K serving tier: shipped serving net on the cheap early
+        stages + a narrow trained finisher on the final (dominant-cost)
+        stage. Returns a StagedUpsampler (stage count resolves at call
+        time)."""
+        fpath = default_params_path("srnet_4k", None, auto)
+        if not fpath:
+            return None, ""
+        base_fn, base_path = load_tier("srnet_compact")
+        if base_fn is None:
+            return None, ""
+        feats, convs = 64, 5
+        meta_path = fpath.rstrip("/") + ".meta.json"
+        if os.path.isfile(meta_path):
+            import json
+
+            with open(meta_path) as fh:
+                m = json.load(fh)
+            feats, convs = int(m.get("features", feats)), int(m.get("num_convs", convs))
+        finisher = SRNetCompact(features=feats, num_convs=convs)
+        params = load_params(finisher, fpath, jnp.zeros((1, 16, 16, 3)))
+        from elvis_tpu.restore.progressive import StagedUpsampler
+
+        return (StagedUpsampler(base_fn, srnet_upsample_fn(finisher, params)),
+                f"srnet_4k[{base_path} + {fpath}]")
 
     def load_tier(name):
         path = default_params_path(name, config.srnet_params_path, auto)
@@ -167,6 +200,11 @@ def _srnet_upsampler(config, which: Optional[str] = None) -> Tuple[Optional[Call
         return (lambda f: sum(fn(f) for fn in fns) / k,
                 f"srnet_ensemble[{names}]")
 
+    if which == "srnet_4k":
+        fn, prov = load_4k()
+        if fn is not None:
+            return finish(fn, prov)
+        return None, "lanczos (no 4k finisher checkpoint)"
     if which in tiers:
         fn, path = load_tier(which)
         if fn is not None:
@@ -240,13 +278,14 @@ def resolve_sr_backend(name: str, config) -> Tuple[BackendFn, str]:
     if name == "lanczos":
         return restore_downsample_lanczos, "lanczos"
     if name in ("srnet", "srnet_compact", "srnet_large", "srnet_student",
-                "srnet_ensemble", "ensemble", "progressive_neural",
-                "realesrgan"):
+                "srnet_4k", "srnet_ensemble", "ensemble",
+                "progressive_neural", "realesrgan"):
         up, prov = _srnet_upsampler(
             config,
             which=name
             if name in ("srnet", "srnet_compact", "srnet_large",
-                        "srnet_student", "srnet_ensemble", "ensemble")
+                        "srnet_student", "srnet_4k", "srnet_ensemble",
+                        "ensemble")
             else None,
         )
         if up is None:

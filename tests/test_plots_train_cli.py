@@ -107,6 +107,26 @@ class TestTrainCli:
         meta = json.loads((tmp_path / "srnet_student.meta.json").read_text())
         assert meta["features"] == 32 and meta["num_convs"] == 2
 
+    def test_train_srnet_4k_finisher(self, tmp_path):
+        """The 4K finisher trains over a frozen serving prefix; a few
+        steps must produce checkpoint + meta."""
+        import json
+        import os
+
+        import pytest
+
+        from elvis_tpu.models.io import default_checkpoint_dir
+        from elvis_tpu.train.cli import main
+
+        if not os.path.isdir(os.path.join(default_checkpoint_dir(),
+                                          "srnet_compact")):
+            pytest.skip("shipped serving checkpoint not present")
+        rc = main(["srnet_4k", "--steps", "2", "--ckpt-dir", str(tmp_path),
+                   "--features", "16", "--num-convs", "2"])
+        assert rc == 0
+        meta = json.loads((tmp_path / "srnet_4k.meta.json").read_text())
+        assert meta["features"] == 16 and meta["prefix"] == "srnet_compact"
+
     def test_student_backend_loads_meta_architecture(self, tmp_path, monkeypatch):
         """resolve_sr_backend('srnet_student') reconstructs the student
         from its meta file (width/depth are free parameters)."""

@@ -359,6 +359,71 @@ class TestSrTierSelection:
         )
         assert "lanczos" in prov
 
+    def test_staged_upsampler_splits_final_stage(self):
+        """StagedUpsampler runs `prefix` on every stage but the last and
+        `final` on the last — the 4K tier's contract (the final stage is
+        ~75% of the loop's FLOPs at 4K)."""
+        from elvis_tpu.restore.progressive import (
+            StagedUpsampler, lanczos_upsample_2x, progressive_restore)
+
+        calls = []
+
+        def tag(name):
+            def up(f):
+                calls.append((name, f.shape[-3]))
+                return lanczos_upsample_2x(f)
+
+            return up
+
+        f = jnp.asarray(np.full((1, 32, 48, 3), 128, np.float32))
+        m = jnp.full((1, 4, 6), 3, jnp.int32)
+        out = progressive_restore(
+            f, m, 8, upsample_fn=StagedUpsampler(tag("pre"), tag("fin")),
+            max_level=3,
+        )
+        assert out.shape == f.shape
+        assert calls == [("pre", 4), ("pre", 8), ("fin", 16)]
+        # numerically identical to the plain path when both fns match
+        plain = progressive_restore(f, m, 8, upsample_fn=lanczos_upsample_2x,
+                                    max_level=3)
+        staged = progressive_restore(
+            f, m, 8,
+            upsample_fn=StagedUpsampler(lanczos_upsample_2x, lanczos_upsample_2x),
+            max_level=3,
+        )
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(staged))
+
+    def test_srnet_4k_backend_loads_staged(self, tmp_path, monkeypatch):
+        """'srnet_4k' resolves to a StagedUpsampler built from the
+        serving prefix + the narrow finisher recorded in its meta."""
+        import jax
+        import orbax.checkpoint as ocp
+
+        from elvis_tpu.models import SRNetCompact
+        from elvis_tpu.restore import backends as B
+        from elvis_tpu.restore.progressive import StagedUpsampler
+
+        ckptr = ocp.StandardCheckpointer()
+        base = SRNetCompact()
+        bp = jax.jit(base.init)(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+        ckptr.save(str(tmp_path / "srnet_compact"), bp)
+        fin = SRNetCompact(features=16, num_convs=2)
+        fp = jax.jit(fin.init)(jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 3)))
+        ckptr.save(str(tmp_path / "srnet_4k"), fp)
+        ckptr.wait_until_finished()
+        (tmp_path / "srnet_4k.meta.json").write_text(
+            '{"features": 16, "num_convs": 2, "prefix": "srnet_compact"}')
+        monkeypatch.setattr("elvis_tpu.models.io.default_checkpoint_dir",
+                            lambda: str(tmp_path))
+        fn, prov = B.resolve_sr_backend("srnet_4k", self._cfg())
+        assert "srnet_4k" in prov
+        frames = jnp.asarray(np.full((1, 16, 16, 3), 128, np.float32))
+        out = fn(frames, jnp.ones((1, 2, 2), jnp.int32), 8)
+        assert out.shape == frames.shape
+        # the raw upsampler object is staged (prefix + final differ)
+        up, _ = B._srnet_upsampler(self._cfg(), which="srnet_4k")
+        assert isinstance(up, StagedUpsampler)
+
 
 class TestInpaintSplitBackend:
     """The neural inpaint backend's two-phase split (seed through the
