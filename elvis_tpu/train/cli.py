@@ -302,6 +302,22 @@ def train_srnet_student(steps: int, ckpt_dir: str, lr: float = 2e-4,
 
     student = SRNetCompact(features=features, num_convs=num_convs)
 
+    if distill_weight == 0.0:
+        # pure wide-corpus training of the student architecture (the
+        # A/B control for the distillation term — and no teacher
+        # forward passes in the batch maker)
+        trainer = _train_sr(
+            student, "srnet_student", steps, ckpt_dir, lr, batch, patch,
+            log_every, block_size, photo_fraction=photo_fraction,
+            val_every=val_every, photos=photos,
+            structured_fraction=structured_fraction,
+        )
+        if ckpt_dir:
+            with open(os.path.join(ckpt_dir, "srnet_student.meta.json"), "w") as fh:
+                json.dump({"features": features, "num_convs": num_convs,
+                           "teachers": [], "distill_weight": 0.0}, fh)
+        return trainer
+
     from elvis_tpu.models.io import default_checkpoint_dir
 
     teachers = []
@@ -813,9 +829,12 @@ def main(argv=None) -> int:
                    help="EMA + best-checkpoint selection on the held-out "
                         "photo strip every N steps (srnet*/deblur/diffusion)")
     p.add_argument("--features", type=int, default=None,
-                   help="student conv width (srnet_student only)")
+                   help="student conv width (srnet_student/srnet_4k)")
     p.add_argument("--num-convs", type=int, default=None,
-                   help="student conv depth (srnet_student only)")
+                   help="student conv depth (srnet_student/srnet_4k)")
+    p.add_argument("--distill-weight", type=float, default=None,
+                   help="ensemble-distillation loss weight (srnet_student; "
+                        "0 = pure wide-corpus training, no teachers)")
     args = p.parse_args(argv)
     kw = dict(lr=args.lr)
     import inspect
@@ -823,7 +842,7 @@ def main(argv=None) -> int:
     sig = inspect.signature(_TRAINERS[args.model]).parameters
     if "val_every" in sig:
         kw["val_every"] = args.val_every
-    for extra in ("features", "num_convs"):
+    for extra in ("features", "num_convs", "distill_weight"):
         if getattr(args, extra) is not None and extra in sig:
             kw[extra] = getattr(args, extra)
     _TRAINERS[args.model](args.steps, args.ckpt_dir, **kw)
