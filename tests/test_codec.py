@@ -680,7 +680,11 @@ class TestMultiRefP:
         np.testing.assert_array_equal(d_a, d_b)
         assert d_a.shape == clip.shape and fps == 30.0
 
+    @pytest.mark.slow
     def test_multi_ref_with_b_frames_roundtrip(self, rng):
+        """Slow-marked: the combined multi_ref+b_frames graph is a
+        compile-heavy variant (82 s single-core); each feature's
+        roundtrip is covered separately in the non-slow set."""
         from elvis_tpu.codec.nvc.codec import decode as nvc_decode
         from elvis_tpu.codec.nvc.codec import encode as nvc_encode
         from elvis_tpu.metrics import masked_psnr
