@@ -243,7 +243,8 @@ def _train_sr(model, tag: str, steps: int, ckpt_dir: str, lr: float, batch: int,
 # texture photographs (wood/tile/marble/metal) and the structured
 # text/architecture procedural family — the off-corpus generalization
 # levers (VERDICT r3 #3).
-_R4_PHOTOS = ("china", "flower", "wood", "tile", "marble", "metal")
+_R4_PHOTOS = ("china", "flower", "wood", "tile", "marble", "metal",
+              "sky", "grass", "fur", "darkwood", "silver", "skin")
 _R4_STRUCTURED = 0.18
 
 
@@ -278,9 +279,10 @@ def train_srnet_student(steps: int, ckpt_dir: str, lr: float = 2e-4,
                         block_size: int = 8, photo_fraction: float = 0.5,
                         val_every: int = 0, features: int = 128,
                         num_convs: int = 10, distill_weight: float = 1.0,
-                        structured_fraction: float = 0.18,
-                        photos: tuple = ("china", "flower", "wood", "tile",
-                                         "marble", "metal")):
+                        structured_fraction: float = _R4_STRUCTURED,
+                        photos: tuple = _R4_PHOTOS,
+                        teacher_dihedral: bool = False,
+                        extra_teachers: tuple = ()):
     """Distill the 'srnet_ensemble' quality tier (compact + RRDB + large
     averaged — three forward passes) into ONE student conv stack
     (VERDICT r3 #2): trained against ground truth AND the ensemble's
@@ -291,6 +293,15 @@ def train_srnet_student(steps: int, ckpt_dir: str, lr: float = 2e-4,
     The architecture (features x num_convs, SRNetCompact family — the
     family that generalizes off-corpus where RRDB overfits) is recorded
     in ``srnet_student.meta.json`` so the loader can reconstruct it.
+
+    ``teacher_dihedral`` averages every teacher forward over the 8
+    dihedral transforms (rot90 x flip) — test-time augmentation on the
+    TEACHER only, worth ~0.1-0.2 dB of free label quality at zero
+    inference cost for the student (the forwards run in the jitted,
+    grad-free batch maker on 64px patches). ``extra_teachers`` adds
+    checkpoints from earlier distillation rounds (SRNetCompact-family
+    dirs with a sibling ``.meta.json`` recording width/depth) to the
+    teacher average — self-distillation across generations.
     """
     import json
     import os
@@ -321,6 +332,7 @@ def train_srnet_student(steps: int, ckpt_dir: str, lr: float = 2e-4,
     from elvis_tpu.models.io import default_checkpoint_dir
 
     teachers = []
+    teacher_names = []
     for name, make in (("srnet_compact", SRNetCompact),
                        ("srnet", SRNet), ("srnet_large", SRNetLarge)):
         # a freshly-retrained teacher in ckpt_dir wins; else the shipped one
@@ -332,10 +344,35 @@ def train_srnet_student(steps: int, ckpt_dir: str, lr: float = 2e-4,
                 f"teacher checkpoint {name} missing — train the tiers first")
         m = make()
         teachers.append((m, load_params(m, path, jnp.zeros((1, 16, 16, 3)))))
+        teacher_names.append(name)
+    for path in extra_teachers:
+        # a prior-generation student: arch from its sibling meta file
+        with open(path.rstrip("/") + ".meta.json") as fh:
+            meta = json.load(fh)
+        m = SRNetCompact(features=meta["features"],
+                         num_convs=meta["num_convs"])
+        teachers.append((m, load_params(m, path, jnp.zeros((1, 16, 16, 3)))))
+        teacher_names.append(path)
     k = float(len(teachers))
 
-    def teacher_up(f):
+    def _mean_up(f):
         return sum(m.apply(p, f) for m, p in teachers) / k
+
+    if teacher_dihedral:
+        def teacher_up(f):
+            acc = 0.0
+            for rot in range(4):
+                for flip in (False, True):
+                    g = jnp.rot90(f, rot, axes=(1, 2))
+                    if flip:
+                        g = jnp.flip(g, 2)
+                    y = _mean_up(g)
+                    if flip:
+                        y = jnp.flip(y, 2)
+                    acc = acc + jnp.rot90(y, -rot, axes=(1, 2))
+            return acc / 8.0
+    else:
+        teacher_up = _mean_up
 
     trainer = _train_sr(
         student, "srnet_student", steps, ckpt_dir, lr, batch, patch,
@@ -347,7 +384,8 @@ def train_srnet_student(steps: int, ckpt_dir: str, lr: float = 2e-4,
     if ckpt_dir:
         with open(os.path.join(ckpt_dir, "srnet_student.meta.json"), "w") as fh:
             json.dump({"features": features, "num_convs": num_convs,
-                       "teachers": ["srnet_compact", "srnet", "srnet_large"],
+                       "teachers": teacher_names,
+                       "teacher_dihedral": teacher_dihedral,
                        "distill_weight": distill_weight}, fh)
     return trainer
 
@@ -835,6 +873,13 @@ def main(argv=None) -> int:
     p.add_argument("--distill-weight", type=float, default=None,
                    help="ensemble-distillation loss weight (srnet_student; "
                         "0 = pure wide-corpus training, no teachers)")
+    p.add_argument("--teacher-dihedral", action="store_true",
+                   help="average teacher forwards over the 8 dihedral "
+                        "transforms (srnet_student)")
+    p.add_argument("--extra-teacher", action="append", default=[],
+                   dest="extra_teachers", metavar="CKPT_DIR",
+                   help="prior-generation student checkpoint dir to add "
+                        "to the teacher average (repeatable)")
     args = p.parse_args(argv)
     kw = dict(lr=args.lr)
     import inspect
@@ -845,6 +890,10 @@ def main(argv=None) -> int:
     for extra in ("features", "num_convs", "distill_weight"):
         if getattr(args, extra) is not None and extra in sig:
             kw[extra] = getattr(args, extra)
+    if args.teacher_dihedral and "teacher_dihedral" in sig:
+        kw["teacher_dihedral"] = True
+    if args.extra_teachers and "extra_teachers" in sig:
+        kw["extra_teachers"] = tuple(args.extra_teachers)
     _TRAINERS[args.model](args.steps, args.ckpt_dir, **kw)
     return 0
 

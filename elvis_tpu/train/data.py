@@ -391,6 +391,33 @@ def photo_patch_pool(
     base = os.path.join(os.path.dirname(sklearn.__file__), "datasets", "images")
     _TEXTURES = {"wood": "wood1.png", "tile": "tile1.png",
                  "marble": "marble1.png", "metal": "metal1.png"}
+    # round-4 widening (VERDICT r3 #3): outdoor-natural and organic
+    # photographic statistics from dm_control + the adroit hand assets —
+    # sky/cloud smooth gradients, grass high-frequency stochastic
+    # texture, fur/skin organic detail, brushed metal, plank wood. The
+    # bench holdouts (pygame camera, the kitchen stone-floor photo,
+    # grace_hopper) stay out — including the kitchen pack's SECOND
+    # stone-floor photo, which shows the same material as the holdout
+    # and would break source independence.
+    _DM = ("dm_control",)
+    _GR = ("gymnasium_robotics",)
+    _EXTRA = {
+        "sky": (_DM, "locomotion/arenas/assets/outdoor_natural/OutdoorSkybox2048.png"),
+        "grass": (_DM, "locomotion/arenas/assets/outdoor_natural/OutdoorGrassFloorD.png"),
+        "fur": (_DM, "suite/dog_assets/skin_texture.png"),
+        "darkwood": (_GR, "envs/assets/adroit_hand/resources/textures/darkwood.png"),
+        "silver": (_GR, "envs/assets/adroit_hand/resources/textures/silverRaw.png"),
+        "skin": (_GR, "envs/assets/adroit_hand/resources/textures/skin.png"),
+    }
+
+    def _pkg_dir(pkg):
+        import contextlib
+        import importlib
+        import io
+
+        with contextlib.redirect_stdout(io.StringIO()):
+            mod = importlib.import_module(pkg[0])  # may print a notice
+        return os.path.dirname(mod.__file__)
 
     def _open(name):
         if name == "grace_hopper":
@@ -410,6 +437,10 @@ def photo_patch_pool(
                 os.path.dirname(gymnasium_robotics.__file__), "envs", "assets",
                 "kitchen_franka", "kitchen_assets", "textures",
                 _TEXTURES[name])).convert("RGB")
+            return img, int(0.75 * img.size[0])
+        if name in _EXTRA:
+            pkg, rel = _EXTRA[name]
+            img = Image.open(os.path.join(_pkg_dir(pkg), rel)).convert("RGB")
             return img, int(0.75 * img.size[0])
         return Image.open(os.path.join(base, f"{name}.jpg")).convert("RGB"), 480
 

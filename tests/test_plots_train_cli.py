@@ -107,6 +107,22 @@ class TestTrainCli:
         meta = json.loads((tmp_path / "srnet_student.meta.json").read_text())
         assert meta["features"] == 32 and meta["num_convs"] == 2
 
+        # generation 2: dihedral teacher TTA + the generation-1 student
+        # as an extra teacher (self-distillation across generations)
+        gen2 = tmp_path / "gen2"
+        gen2.mkdir()
+        for t in ("srnet", "srnet_compact", "srnet_large"):
+            shutil.copytree(tmp_path / t, gen2 / t)
+        rc = main(["srnet_student", "--steps", "2", "--ckpt-dir", str(gen2),
+                   "--features", "32", "--num-convs", "2",
+                   "--teacher-dihedral",
+                   "--extra-teacher", str(tmp_path / "srnet_student")])
+        assert rc == 0
+        meta2 = json.loads((gen2 / "srnet_student.meta.json").read_text())
+        assert meta2["teacher_dihedral"] is True
+        assert len(meta2["teachers"]) == 4
+        assert meta2["teachers"][-1].endswith("srnet_student")
+
     def test_train_srnet_4k_finisher(self, tmp_path):
         """The 4K finisher trains over a frozen serving prefix; a few
         steps must produce checkpoint + meta."""
@@ -213,6 +229,21 @@ class TestPhotoPool:
         assert tr.shape == (16, 32, 32, 3) and va.shape == (16, 32, 32, 3)
         assert 0 <= tr.min() and tr.max() <= 255 and tr.std() > 5
         assert not np.array_equal(tr, va)
+
+    def test_dm_control_photo_sources(self):
+        """Round-4 second widening: the dm_control outdoor/organic
+        photographs (sky/grass/fur) and the adroit material textures
+        (darkwood/silver/skin) load with train/val column splits."""
+        import numpy as np
+
+        from elvis_tpu.train.data import photo_patch_pool
+
+        for src in ("sky", "grass", "fur", "darkwood", "silver", "skin"):
+            tr = photo_patch_pool(32, True, 4, 0, (src,))
+            va = photo_patch_pool(32, False, 4, 0, (src,))
+            assert tr.shape == (4, 32, 32, 3) and va.shape == (4, 32, 32, 3)
+            assert 0 <= tr.min() and tr.max() <= 255
+            assert not np.array_equal(tr, va), src
 
     def test_holdout_photos_not_in_training_sources(self):
         """The bench holdouts (pygame camera, marble_tile) must stay
