@@ -41,7 +41,8 @@ def _train_sr(model, tag: str, steps: int, ckpt_dir: str, lr: float, batch: int,
               ema_decay: float = 0.999, val_every: int = 0,
               photos: tuple = ("china", "flower"), weight_decay: float = 1e-4,
               structured_fraction: float = 0.0, teacher_up=None,
-              distill_weight: float = 1.0, frozen_prefix_up=None):
+              distill_weight: float = 1.0, frozen_prefix_up=None,
+              sensor_fraction: float = 0.0):
     """Train a 2x upsampler THROUGH the progressive restoration loop.
 
     Per-stage SR training does not compose: the deployed model runs
@@ -78,7 +79,7 @@ def _train_sr(model, tag: str, steps: int, ckpt_dir: str, lr: float, batch: int,
     from elvis_tpu.train import Trainer
     from elvis_tpu.train.data import (
         codec_noise, natural_frames, photo_patch_pool, photometric_augment,
-        structured_frames, synthetic_frames)
+        sensor_augment, structured_frames, synthetic_frames)
 
     params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, patch // 2, patch // 2, 3)))
     max_level = 3  # static stage count: factors up to 8x
@@ -93,8 +94,8 @@ def _train_sr(model, tag: str, steps: int, ckpt_dir: str, lr: float, batch: int,
 
     @jax.jit
     def make_batch(rng):
-        ks = jax.random.split(rng, 10)
-        k1, k2, k3, k4, k5, k6, k7, k8, k9, k10 = ks
+        ks = jax.random.split(rng, 11)
+        k1, k2, k3, k4, k5, k6, k7, k8, k9, k10, k11 = ks
         # natural-statistics vs legacy band-limited content mix
         clean = jnp.where(
             jax.random.bernoulli(k4, natural_fraction, (batch, 1, 1, 1)),
@@ -116,6 +117,10 @@ def _train_sr(model, tag: str, steps: int, ckpt_dir: str, lr: float, batch: int,
         # lever: the photo pool is a handful of images; gamma/gain/cast
         # jitter multiplies its effective diversity)
         clean = photometric_augment(k8, clean)
+        if sensor_fraction > 0:
+            # noisy GROUND TRUTH (grain/chroma noise the pair shares) —
+            # the 'camera'-holdout statistics; see data.sensor_augment
+            clean = sensor_augment(k11, clean, sensor_fraction)
         scores = jax.random.uniform(k2, (batch, patch // block_size, patch // block_size))
         degraded, levels = adaptive_downsample(clean, scores, block_size)
         degraded = codec_noise(k3, degraded, block_size)
@@ -252,26 +257,30 @@ def train_srnet(steps: int, ckpt_dir: str, lr: float = 1e-4, batch: int = 16, pa
                 log_every: int = 50, block_size: int = 8,
                 photo_fraction: float = 0.5, val_every: int = 0,
                 photos: tuple = _R4_PHOTOS,
-                structured_fraction: float = _R4_STRUCTURED):
+                structured_fraction: float = _R4_STRUCTURED,
+                sensor_fraction: float = 0.0):
     from elvis_tpu.models import SRNet
 
     return _train_sr(SRNet(), "srnet", steps, ckpt_dir, lr, batch, patch,
                      log_every, block_size, photo_fraction=photo_fraction,
                      val_every=val_every, photos=photos,
-                     structured_fraction=structured_fraction)
+                     structured_fraction=structured_fraction,
+                     sensor_fraction=sensor_fraction)
 
 
 def train_srnet_compact(steps: int, ckpt_dir: str, lr: float = 4e-4, batch: int = 16,
                         patch: int = 64, log_every: int = 50, block_size: int = 8,
                         photo_fraction: float = 0.5, val_every: int = 0,
                         photos: tuple = _R4_PHOTOS,
-                        structured_fraction: float = _R4_STRUCTURED):
+                        structured_fraction: float = _R4_STRUCTURED,
+                        sensor_fraction: float = 0.0):
     from elvis_tpu.models import SRNetCompact
 
     return _train_sr(SRNetCompact(), "srnet_compact", steps, ckpt_dir, lr, batch,
                      patch, log_every, block_size, photo_fraction=photo_fraction,
                      val_every=val_every, photos=photos,
-                     structured_fraction=structured_fraction)
+                     structured_fraction=structured_fraction,
+                     sensor_fraction=sensor_fraction)
 
 
 def train_srnet_student(steps: int, ckpt_dir: str, lr: float = 2e-4,
@@ -282,7 +291,8 @@ def train_srnet_student(steps: int, ckpt_dir: str, lr: float = 2e-4,
                         structured_fraction: float = _R4_STRUCTURED,
                         photos: tuple = _R4_PHOTOS,
                         teacher_dihedral: bool = False,
-                        extra_teachers: tuple = ()):
+                        extra_teachers: tuple = (),
+                        sensor_fraction: float = 0.0):
     """Distill the 'srnet_ensemble' quality tier (compact + RRDB + large
     averaged — three forward passes) into ONE student conv stack
     (VERDICT r3 #2): trained against ground truth AND the ensemble's
@@ -322,6 +332,7 @@ def train_srnet_student(steps: int, ckpt_dir: str, lr: float = 2e-4,
             log_every, block_size, photo_fraction=photo_fraction,
             val_every=val_every, photos=photos,
             structured_fraction=structured_fraction,
+            sensor_fraction=sensor_fraction,
         )
         if ckpt_dir:
             with open(os.path.join(ckpt_dir, "srnet_student.meta.json"), "w") as fh:
@@ -380,6 +391,7 @@ def train_srnet_student(steps: int, ckpt_dir: str, lr: float = 2e-4,
         val_every=val_every, photos=photos, teacher_up=teacher_up,
         distill_weight=distill_weight,
         structured_fraction=structured_fraction,
+        sensor_fraction=sensor_fraction,
     )
     if ckpt_dir:
         with open(os.path.join(ckpt_dir, "srnet_student.meta.json"), "w") as fh:
@@ -880,6 +892,12 @@ def main(argv=None) -> int:
                    dest="extra_teachers", metavar="CKPT_DIR",
                    help="prior-generation student checkpoint dir to add "
                         "to the teacher average (repeatable)")
+    p.add_argument("--sensor-fraction", type=float, default=None,
+                   help="fraction of training samples given noisy ground "
+                        "truth (camera-sensor grain; data.sensor_augment)")
+    p.add_argument("--photos", type=str, default=None,
+                   help="comma-separated photo corpus source names "
+                        "(default: the 12-source round-4 set)")
     args = p.parse_args(argv)
     kw = dict(lr=args.lr)
     import inspect
@@ -887,9 +905,12 @@ def main(argv=None) -> int:
     sig = inspect.signature(_TRAINERS[args.model]).parameters
     if "val_every" in sig:
         kw["val_every"] = args.val_every
-    for extra in ("features", "num_convs", "distill_weight"):
+    for extra in ("features", "num_convs", "distill_weight",
+                  "sensor_fraction"):
         if getattr(args, extra) is not None and extra in sig:
             kw[extra] = getattr(args, extra)
+    if args.photos is not None and "photos" in sig:
+        kw["photos"] = tuple(s for s in args.photos.split(",") if s)
     if args.teacher_dihedral and "teacher_dihedral" in sig:
         kw["teacher_dihedral"] = True
     if args.extra_teachers and "extra_teachers" in sig:

@@ -29,6 +29,7 @@ __all__ = [
     "photo_patch_pool",
     "photo_video_batch",
     "photometric_augment",
+    "sensor_augment",
 ]
 
 
@@ -50,6 +51,38 @@ def photometric_augment(rng, frames: jnp.ndarray) -> jnp.ndarray:
     x = jnp.clip(x, 1e-6, 1.0) ** gamma
     x = x * gain * cast + offset
     return jnp.clip(x * 255.0, 0.0, 255.0)
+
+
+@jax.jit
+def sensor_augment(rng, frames: jnp.ndarray,
+                   fraction: float = 0.4) -> jnp.ndarray:
+    """Camera-sensor statistics on CLEAN sources — the ground truth KEEPS
+    the noise. Film grain with shadow weighting (webcam AGC amplifies
+    shadows) and extra chroma noise (single-sensor demosaicing), applied
+    BEFORE degradation so the input/target pair shares it.
+
+    Why: the independent 'camera' bench holdout is a webcam photograph
+    whose ground truth itself carries grain + compression noise. A model
+    trained only on clean sources has never been asked to carry noisy
+    texture through the restoration loop and oversmooths it (measured r4
+    plateau: +1.01 dB while the in-rotation holdout sits at +1.68).
+    Reconstructing noisy texture from its downsampled alias is learnable;
+    this family puts it in the training distribution."""
+    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+    b = frames.shape[0]
+    x = frames.astype(jnp.float32)
+    sigma = jax.random.uniform(k1, (b, 1, 1, 1), minval=0.5, maxval=5.0)
+    # per-channel scale: chroma channels noisier than average ~40% of the
+    # time (red/blue gain on single-sensor cameras)
+    cscale = jnp.where(
+        jax.random.bernoulli(k4, 0.4, (b, 1, 1, 3)),
+        jax.random.uniform(k5, (b, 1, 1, 3), minval=1.0, maxval=2.0),
+        1.0,
+    )
+    shadow = 1.0 + 0.8 * (1.0 - x / 255.0)  # 1.0 (highlights) .. 1.8 (shadows)
+    noisy = x + sigma * cscale * shadow * jax.random.normal(k2, x.shape)
+    apply = jax.random.bernoulli(k3, fraction, (b, 1, 1, 1))
+    return jnp.where(apply, jnp.clip(noisy, 0.0, 255.0), frames)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))

@@ -67,6 +67,17 @@ class TestTrainCli:
         assert rc == 0
         assert (tmp_path / "srnet").exists()
 
+    def test_sensor_fraction_and_photos_cli_knobs(self, tmp_path):
+        """--sensor-fraction enables the noisy-ground-truth family and
+        --photos narrows the corpus; both must reach the trainer."""
+        from elvis_tpu.train.cli import main
+
+        rc = main(["srnet_compact", "--steps", "2", "--ckpt-dir",
+                   str(tmp_path), "--sensor-fraction", "0.5",
+                   "--photos", "china,flower"])
+        assert rc == 0
+        assert (tmp_path / "srnet_compact").exists()
+
     def test_train_deblur_few_steps(self, tmp_path):
         from elvis_tpu.train.cli import main
 
@@ -244,6 +255,31 @@ class TestPhotoPool:
             assert tr.shape == (4, 32, 32, 3) and va.shape == (4, 32, 32, 3)
             assert 0 <= tr.min() and tr.max() <= 255
             assert not np.array_equal(tr, va), src
+
+    def test_sensor_augment_adds_grain_to_a_fraction(self):
+        """sensor_augment: ~fraction of samples gain zero-mean grain
+        (stronger in shadows), the rest pass through bit-exactly, range
+        stays [0, 255]."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from elvis_tpu.train.data import sensor_augment
+
+        x = jnp.full((32, 16, 16, 3), 128.0)
+        out = np.asarray(sensor_augment(jax.random.PRNGKey(0), x, 0.5))
+        per_sample = out.std(axis=(1, 2, 3))
+        noisy = (per_sample > 0.1).sum()
+        assert 6 <= noisy <= 26  # ~half at fraction=0.5
+        clean = out[per_sample <= 0.1]
+        assert np.array_equal(clean, np.full_like(clean, 128.0))
+        assert out.min() >= 0.0 and out.max() <= 255.0
+        # shadow weighting: dark content gets more grain than bright
+        dark = np.asarray(sensor_augment(jax.random.PRNGKey(1),
+                                         jnp.full((64, 16, 16, 3), 20.0), 1.0))
+        bright = np.asarray(sensor_augment(jax.random.PRNGKey(1),
+                                           jnp.full((64, 16, 16, 3), 235.0), 1.0))
+        assert dark.std() > bright.std()
 
     def test_holdout_photos_not_in_training_sources(self):
         """The bench holdouts (pygame camera, marble_tile) must stay
