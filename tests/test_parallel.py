@@ -132,9 +132,11 @@ class TestTemporalHaloEquivalence:
         from elvis_tpu.parallel.halo import temporal_map_overlap
         from elvis_tpu.restore.inpaint import restore_removal_temporal
 
-        # shapes sized for the 1-core CPU image: 24f x 24x32 px, radius 2
-        # (was 32f x 32x48 r3 = 300 s single-core; the halo-equality
-        # property is shape-independent)
+        # shapes sized for the 1-core CPU image: 24f x 24x32 px, radius 2,
+        # window 1 (was 32f x 32x48 window 2 = 300 s single-core; the
+        # halo-equality property overlap == 2*window is shape- and
+        # window-independent, and 24f/8dev leaves n_local 3 >= overlap 2
+        # — window 2 would need overlap 4 > n_local)
         n, h, w, pan = 24, 24, 32, 2
         wide = (rng.random((h, w + pan * n, 3)) * 255).astype(np.float32)
         clip = np.stack([wide[:, pan * t : pan * t + w] for t in range(n)])
@@ -145,11 +147,11 @@ class TestTemporalHaloEquivalence:
         m = jnp.asarray(mask)
 
         fn = functools.partial(restore_removal_temporal, block_size=8,
-                               window=2, motion_radius=2)
+                               window=1, motion_radius=2)
         direct = np.asarray(fn(holed, m))
         mesh = make_mesh()
         sharded = np.asarray(
-            temporal_map_overlap(lambda f, mm: fn(f, mm), (holed, m), mesh, overlap=4)
+            temporal_map_overlap(lambda f, mm: fn(f, mm), (holed, m), mesh, overlap=2)
         )
         np.testing.assert_array_equal(sharded, direct)
 
