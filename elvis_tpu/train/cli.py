@@ -42,7 +42,7 @@ def _train_sr(model, tag: str, steps: int, ckpt_dir: str, lr: float, batch: int,
               photos: tuple = ("china", "flower"), weight_decay: float = 1e-4,
               structured_fraction: float = 0.0, teacher_up=None,
               distill_weight: float = 1.0, frozen_prefix_up=None,
-              sensor_fraction: float = 0.0):
+              sensor_fraction: float = 0.0, jpeg_gt_fraction: float = 0.0):
     """Train a 2x upsampler THROUGH the progressive restoration loop.
 
     Per-stage SR training does not compose: the deployed model runs
@@ -94,8 +94,8 @@ def _train_sr(model, tag: str, steps: int, ckpt_dir: str, lr: float, batch: int,
 
     @jax.jit
     def make_batch(rng):
-        ks = jax.random.split(rng, 11)
-        k1, k2, k3, k4, k5, k6, k7, k8, k9, k10, k11 = ks
+        ks = jax.random.split(rng, 12)
+        k1, k2, k3, k4, k5, k6, k7, k8, k9, k10, k11, k12 = ks
         # natural-statistics vs legacy band-limited content mix
         clean = jnp.where(
             jax.random.bernoulli(k4, natural_fraction, (batch, 1, 1, 1)),
@@ -121,6 +121,12 @@ def _train_sr(model, tag: str, steps: int, ckpt_dir: str, lr: float, batch: int,
             # noisy GROUND TRUTH (grain/chroma noise the pair shares) —
             # the 'camera'-holdout statistics; see data.sensor_augment
             clean = sensor_augment(k11, clean, sensor_fraction)
+        if jpeg_gt_fraction > 0:
+            # JPEG-compressed GROUND TRUTH: mild 8x8 DCT quantization on
+            # the clean source, shared by the pair — the holdout-is-a-
+            # decoded-JPEG statistics (see data.codec_noise docstring)
+            clean = codec_noise(k12, clean, block_size, 14.0, 30.0,
+                                jpeg_gt_fraction)
         scores = jax.random.uniform(k2, (batch, patch // block_size, patch // block_size))
         degraded, levels = adaptive_downsample(clean, scores, block_size)
         degraded = codec_noise(k3, degraded, block_size)
@@ -258,14 +264,16 @@ def train_srnet(steps: int, ckpt_dir: str, lr: float = 1e-4, batch: int = 16, pa
                 photo_fraction: float = 0.5, val_every: int = 0,
                 photos: tuple = _R4_PHOTOS,
                 structured_fraction: float = _R4_STRUCTURED,
-                sensor_fraction: float = 0.0):
+                sensor_fraction: float = 0.0,
+                jpeg_gt_fraction: float = 0.0):
     from elvis_tpu.models import SRNet
 
     return _train_sr(SRNet(), "srnet", steps, ckpt_dir, lr, batch, patch,
                      log_every, block_size, photo_fraction=photo_fraction,
                      val_every=val_every, photos=photos,
                      structured_fraction=structured_fraction,
-                     sensor_fraction=sensor_fraction)
+                     sensor_fraction=sensor_fraction,
+                     jpeg_gt_fraction=jpeg_gt_fraction)
 
 
 def train_srnet_compact(steps: int, ckpt_dir: str, lr: float = 4e-4, batch: int = 16,
@@ -273,14 +281,16 @@ def train_srnet_compact(steps: int, ckpt_dir: str, lr: float = 4e-4, batch: int 
                         photo_fraction: float = 0.5, val_every: int = 0,
                         photos: tuple = _R4_PHOTOS,
                         structured_fraction: float = _R4_STRUCTURED,
-                        sensor_fraction: float = 0.0):
+                        sensor_fraction: float = 0.0,
+                        jpeg_gt_fraction: float = 0.0):
     from elvis_tpu.models import SRNetCompact
 
     return _train_sr(SRNetCompact(), "srnet_compact", steps, ckpt_dir, lr, batch,
                      patch, log_every, block_size, photo_fraction=photo_fraction,
                      val_every=val_every, photos=photos,
                      structured_fraction=structured_fraction,
-                     sensor_fraction=sensor_fraction)
+                     sensor_fraction=sensor_fraction,
+                     jpeg_gt_fraction=jpeg_gt_fraction)
 
 
 def train_srnet_student(steps: int, ckpt_dir: str, lr: float = 2e-4,
@@ -292,7 +302,8 @@ def train_srnet_student(steps: int, ckpt_dir: str, lr: float = 2e-4,
                         photos: tuple = _R4_PHOTOS,
                         teacher_dihedral: bool = False,
                         extra_teachers: tuple = (),
-                        sensor_fraction: float = 0.0):
+                        sensor_fraction: float = 0.0,
+                        jpeg_gt_fraction: float = 0.0):
     """Distill the 'srnet_ensemble' quality tier (compact + RRDB + large
     averaged — three forward passes) into ONE student conv stack
     (VERDICT r3 #2): trained against ground truth AND the ensemble's
@@ -392,6 +403,7 @@ def train_srnet_student(steps: int, ckpt_dir: str, lr: float = 2e-4,
         distill_weight=distill_weight,
         structured_fraction=structured_fraction,
         sensor_fraction=sensor_fraction,
+        jpeg_gt_fraction=jpeg_gt_fraction,
     )
     if ckpt_dir:
         with open(os.path.join(ckpt_dir, "srnet_student.meta.json"), "w") as fh:
@@ -895,6 +907,10 @@ def main(argv=None) -> int:
     p.add_argument("--sensor-fraction", type=float, default=None,
                    help="fraction of training samples given noisy ground "
                         "truth (camera-sensor grain; data.sensor_augment)")
+    p.add_argument("--jpeg-gt-fraction", type=float, default=None,
+                   help="fraction of training samples whose ground truth "
+                        "is mildly JPEG-quantized (decoded-JPEG holdout "
+                        "statistics; data.codec_noise on the clean source)")
     p.add_argument("--photos", type=str, default=None,
                    help="comma-separated photo corpus source names "
                         "(default: the 12-source round-4 set)")
@@ -906,7 +922,7 @@ def main(argv=None) -> int:
     if "val_every" in sig:
         kw["val_every"] = args.val_every
     for extra in ("features", "num_convs", "distill_weight",
-                  "sensor_fraction"):
+                  "sensor_fraction", "jpeg_gt_fraction"):
         if getattr(args, extra) is not None and extra in sig:
             kw[extra] = getattr(args, extra)
     if args.photos is not None and "photos" in sig:

@@ -328,21 +328,28 @@ def structured_frames(rng, batch: int, height: int, width: int) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
-def codec_noise(rng, frames: jnp.ndarray, block: int = 8) -> jnp.ndarray:
+def codec_noise(rng, frames: jnp.ndarray, block: int = 8,
+                qp_min: float = 16.0, qp_max: float = 38.0,
+                prob: float = 0.7) -> jnp.ndarray:
     """Codec-artifact augmentation: blockwise DCT quantize/dequantize at a
     random QP per sample (H.264-style Qstep=2^((QP-4)/6)), applied with
-    probability ~0.7. At inference the restorers see DECODED frames
+    probability ``prob``. At inference the restorers see DECODED frames
     (pipeline stage 9 runs on the codec round-trip), so training inputs
     carry matching blocking/ringing artifacts. No gradient flows through
-    data generation, so the hard rounding is fine under jit."""
+    data generation, so the hard rounding is fine under jit.
+
+    With a milder QP range this also serves as the JPEG-ground-truth
+    family: applied to CLEAN sources before degradation, the pair shares
+    the 8x8 quantization pattern — the statistics of any holdout that is
+    itself a decoded JPEG (the 'camera' webcam photo)."""
     from elvis_tpu.codec.nvc.transform import qstep_from_qp
     from elvis_tpu.core.blocks import combine_blocks, split_into_blocks
     from elvis_tpu.ops.dct import block_dct2, block_idct2
 
     k1, k2 = jax.random.split(rng)
     n = frames.shape[0]
-    qp = jax.random.uniform(k1, (n, 1, 1, 1, 1, 1), minval=16.0, maxval=38.0)
-    apply = jax.random.bernoulli(k2, 0.7, (n, 1, 1, 1))
+    qp = jax.random.uniform(k1, (n, 1, 1, 1, 1, 1), minval=qp_min, maxval=qp_max)
+    apply = jax.random.bernoulli(k2, prob, (n, 1, 1, 1))
     qstep = qstep_from_qp(qp)
 
     x = frames.astype(jnp.float32) - 128.0

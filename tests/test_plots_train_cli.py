@@ -74,9 +74,30 @@ class TestTrainCli:
 
         rc = main(["srnet_compact", "--steps", "2", "--ckpt-dir",
                    str(tmp_path), "--sensor-fraction", "0.5",
-                   "--photos", "china,flower"])
+                   "--jpeg-gt-fraction", "0.3", "--photos", "china,flower"])
         assert rc == 0
         assert (tmp_path / "srnet_compact").exists()
+
+    def test_codec_noise_qp_range_and_prob(self):
+        """codec_noise's mild-QP / always-apply form (the JPEG-ground-
+        truth family) quantizes every sample, and more gently than the
+        default input-augmentation range."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from elvis_tpu.train.data import codec_noise
+
+        rng = jax.random.PRNGKey(3)
+        x = jnp.asarray(
+            np.random.default_rng(0).random((8, 32, 32, 3)) * 255.0)
+        mild = np.asarray(codec_noise(rng, x, 8, 14.0, 20.0, 1.0))
+        harsh = np.asarray(codec_noise(rng, x, 8, 36.0, 38.0, 1.0))
+        none = np.asarray(codec_noise(rng, x, 8, 14.0, 20.0, 0.0))
+        err_mild = np.abs(mild - np.asarray(x)).mean()
+        err_harsh = np.abs(harsh - np.asarray(x)).mean()
+        assert 0.0 < err_mild < err_harsh
+        assert np.array_equal(none, np.asarray(x))
 
     def test_train_deblur_few_steps(self, tmp_path):
         from elvis_tpu.train.cli import main
