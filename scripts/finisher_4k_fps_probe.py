@@ -89,7 +89,12 @@ def main() -> int:
                 fn(degraded, levels).block_until_ready()
             vals.append(n * args.iters / (time.perf_counter() - t0))
         out[name] = round(float(np.mean(vals)), 2)
-        print(json.dumps({name: out[name]}), flush=True)
+        # per-candidate spread so deltas can be read against the noise
+        # floor (bench.py carries value_std for the same reason)
+        out[name + "_std"] = round(float(np.std(vals)), 2)
+        out[name + "_minmax"] = [round(min(vals), 2), round(max(vals), 2)]
+        print(json.dumps({name: out[name], "std": out[name + "_std"],
+                          "minmax": out[name + "_minmax"]}), flush=True)
 
     print(json.dumps({"fps_4k": out}))
     return 0

@@ -74,7 +74,8 @@ def main() -> int:
     for k, (fn, args) in cases.items():
         out[k] = timed_ms(fn, args)
         print(json.dumps({k: out[k]}), flush=True)
-    # effective HBM bandwidth from the copy anchor: read+write 100 MB
+    # effective HBM bandwidth from the copy anchor: read + write of a
+    # ~100 MB tensor (~200 MB total traffic)
     gb = 2 * x.size * 4 / 1e9
     out["copy_eff_gbps"] = round(gb / (out["copy_4k_ms"] / 1e3), 1)
     print(json.dumps(out))
