@@ -15,11 +15,26 @@ import jax.numpy as jnp
 
 from elvis_tpu.core.blocks import blockwise_reduce
 
-__all__ = ["block_motion"]
+__all__ = ["block_motion", "block_motion_pyramid", "pyramid_range"]
+
+
+def pyramid_range(radius: int, levels: int, refine_radius: int = 2) -> int:
+    """Maximum displacement (px) ``block_motion_pyramid`` can represent:
+    +-radius at the coarsest scale plus the residual refinements.
+    levels=3, radius=4 -> 4*4 + 2*(2+1) = 22."""
+    if levels <= 1:
+        return radius
+    return radius * (1 << (levels - 1)) + refine_radius * ((1 << (levels - 1)) - 1)
 
 
 def block_motion(
-    prev: jnp.ndarray, cur: jnp.ndarray, block_size: int = 16, radius: int = 4
+    prev: jnp.ndarray,
+    cur: jnp.ndarray,
+    block_size: int = 16,
+    radius: int = 4,
+    prev_weight: jnp.ndarray | None = None,
+    cur_weight: jnp.ndarray | None = None,
+    return_sad: bool = False,
 ) -> jnp.ndarray:
     """Estimate per-block integer motion from ``prev`` to ``cur``.
 
@@ -29,6 +44,17 @@ def block_motion(
 
     Candidate shifts are edge-clamped (not wraparound) so border blocks
     are scored against the pixels a warp would actually read.
+
+    ``prev_weight``/``cur_weight`` (``(N,H,W)`` in [0,1], 1 = valid)
+    turn the SAD into a MASKED match: invalid pixels (removal holes,
+    out-of-frame reads) are excluded from the error, normalized by the
+    valid mass, and offsets whose valid fraction falls below 25% are
+    penalized out (unless every offset is invalid, which ties back to
+    zero motion). Estimating on hole-stretched frames used to require a
+    zero-motion prefill whose stale co-located content dragged SAD
+    minima toward zero (~2x cumulative underestimate measured on the r4
+    long-run pan, docs/diag_inpaint_inversion.json) — masking matches
+    only real content.
     """
     # Zero-motion-first candidate order: jnp.argmin keeps the FIRST minimum,
     # so ties (flat blocks) and near-ties resolve to the smallest motion
@@ -42,13 +68,155 @@ def block_motion(
     h, w = p.shape[-2], p.shape[-1]
     pad = [(0, 0)] * (p.ndim - 2) + [(radius, radius), (radius, radius)]
     padded = jnp.pad(p, pad, mode="edge")
+    weighted = prev_weight is not None or cur_weight is not None
+    if weighted:
+        wp = jnp.ones_like(p) if prev_weight is None else prev_weight.astype(jnp.float32)
+        wc = jnp.ones_like(c) if cur_weight is None else cur_weight.astype(jnp.float32)
+        # out-of-frame reads are invalid, not edge-extended
+        padded_w = jnp.pad(wp, pad, mode="constant")
     sads = []
     for dy, dx in offsets:
         # shifted[y, x] = prev[clamp(y - dy), clamp(x - dx)]
         shifted = padded[..., radius - dy : radius - dy + h, radius - dx : radius - dx + w]
-        sad = blockwise_reduce(jnp.abs(c - shifted), block_size, jnp.mean)
+        if weighted:
+            sw = padded_w[..., radius - dy : radius - dy + h, radius - dx : radius - dx + w]
+            wgt = wc * sw
+            num = blockwise_reduce(jnp.abs(c - shifted) * wgt, block_size, jnp.mean)
+            den = blockwise_reduce(wgt, block_size, jnp.mean)  # valid fraction
+            sad = num / jnp.maximum(den, 1e-6) + jnp.where(den < 0.25, 1e6, 0.0)
+        else:
+            sad = blockwise_reduce(jnp.abs(c - shifted), block_size, jnp.mean)
         sads.append(sad)
     sads = jnp.stack(sads, axis=-1)  # (N,By,Bx,K)
     best = jnp.argmin(sads, axis=-1)
     table = jnp.asarray(offsets, dtype=jnp.int32)  # (K,2)
+    if return_sad:
+        # per-block CONFIDENCE: the winning masked SAD. >= the 1e6
+        # penalty means NO offset had enough valid mass (e.g. the whole
+        # search region is stretch-holes) — the vector is a tie-break
+        # artifact and must be flow-completed, not trusted.
+        return table[best], jnp.min(sads, axis=-1)
     return table[best]
+
+
+def _warp_by_block_field(frames: jnp.ndarray, mv: jnp.ndarray, block_size: int) -> jnp.ndarray:
+    """``warped[p] = frames[p - mv[block(p)]]`` with edge clamping.
+
+    frames ``(N,H,W)``, mv ``(N,By,Bx,2)`` int pixels -> ``(N,H,W)``."""
+    from elvis_tpu.core.blocks import upsample_map
+
+    n, h, w = frames.shape
+    dy = upsample_map(mv[..., 0], block_size)
+    dx = upsample_map(mv[..., 1], block_size)
+    yy = jnp.arange(h)[None, :, None]
+    xx = jnp.arange(w)[None, None, :]
+    sy = jnp.clip(yy - dy, 0, h - 1)
+    sx = jnp.clip(xx - dx, 0, w - 1)
+    return frames[jnp.arange(n)[:, None, None], sy, sx]
+
+
+def block_motion_pyramid(
+    prev: jnp.ndarray,
+    cur: jnp.ndarray,
+    block_size: int = 16,
+    radius: int = 4,
+    levels: int = 3,
+    refine_radius: int = 2,
+    prev_weight: jnp.ndarray | None = None,
+    cur_weight: jnp.ndarray | None = None,
+    return_sad: bool = False,
+) -> jnp.ndarray:
+    """Coarse-to-fine block motion: same convention as ``block_motion``
+    but with effective search range ``radius * 2^(levels-1) + ...`` at a
+    FRACTION of the flat search's cost.
+
+    The flat (2R+1)^2 whole-frame-shift search saturates at +-radius —
+    measured diverging on the committed long-run pan (~5-9 px/frame vs
+    the default radius 4; the cumulative chain then amplified the clamp
+    into the inpainting quality inversion, VERDICT r4 #1). Here the
+    coarsest level searches +-radius at 1/2^(levels-1) resolution (cheap:
+    shifts cost 1/4^k), each finer level warps ``prev`` by the upsampled
+    prior field (one gather) and searches only +-refine_radius residually.
+    For levels=3, radius=4: range +-(16+4+2)=+-22 px at ~45% of the flat
+    radius-4 FLOPs at full res.
+
+    ``prev_weight``/``cur_weight`` thread the masked-SAD semantics of
+    ``block_motion`` through every level: weights downsample by area mean
+    (fractional validity) and warp along the refinement field with their
+    frames, so hole-stretched frames can be matched DIRECTLY — no
+    prefill, no stale co-located bias.
+
+    H and W must divide ``block_size``; coarser levels pad to alignment
+    internally (edge-mode frames, zero-weight validity) and the returned
+    field is the original ``(N, H/b, W/b, 2)`` grid.
+    """
+    if levels <= 1:
+        return block_motion(prev, cur, block_size, radius,
+                            prev_weight, cur_weight, return_sad=return_sad)
+    p = prev.astype(jnp.float32)
+    c = cur.astype(jnp.float32)
+    n, h, w = p.shape
+    weighted = prev_weight is not None or cur_weight is not None
+    if weighted:
+        wp_full = (jnp.ones_like(p) if prev_weight is None
+                   else prev_weight.astype(jnp.float32))
+        wc_full = (jnp.ones_like(c) if cur_weight is None
+                   else cur_weight.astype(jnp.float32))
+    s_max = 1 << (levels - 1)
+    align = block_size * s_max
+    hp, wp = -(-h // align) * align, -(-w // align) * align
+    if (hp, wp) != (h, w):
+        grow = ((0, 0), (0, hp - h), (0, wp - w))
+        p = jnp.pad(p, grow, mode="edge")
+        c = jnp.pad(c, grow, mode="edge")
+        if weighted:
+            # alignment padding is fake content: zero validity
+            wp_full = jnp.pad(wp_full, grow, mode="constant")
+            wc_full = jnp.pad(wc_full, grow, mode="constant")
+
+    def down(x, s):
+        if s == 1:
+            return x
+        return x.reshape(n, hp // s, s, wp // s, s).mean(axis=(2, 4))
+
+    def down_masked(x, wgt, s):
+        """Weighted-mean downsample: hole pixels must not leak their
+        (zeroed) VALUES into the coarse image — only their weight. A
+        plain mean mixed stretch-holes into every coarse pixel and the
+        coarse search matched corrupted content (measured: 29% of
+        clean-pair vectors wrong on an exact-shift pan)."""
+        if s == 1:
+            return x
+        num = down(x * wgt, s)
+        den = down(wgt, s)
+        return num / jnp.maximum(den, 1e-6)
+
+    mv, sad = None, None
+    for k in range(levels - 1, -1, -1):
+        s = 1 << k
+        final = k == 0 and return_sad
+        if weighted:
+            pk = down_masked(p, wp_full, s)
+            ck = down_masked(c, wc_full, s)
+            wpk, wck = down(wp_full, s), down(wc_full, s)
+        else:
+            pk, ck = down(p, s), down(c, s)
+            wpk = wck = None
+        if mv is None:
+            res = block_motion(pk, ck, block_size, radius, wpk, wck,
+                               return_sad=final)
+            mv, sad = res if final else (res, None)
+        else:
+            # upsample the prior field: 2x denser grid, 2x pixel values
+            mv = jnp.repeat(jnp.repeat(mv * 2, 2, axis=1), 2, axis=2)
+            warped = _warp_by_block_field(pk, mv, block_size)
+            if weighted:
+                wpk = _warp_by_block_field(wpk, mv, block_size)
+            res = block_motion(warped, ck, block_size, refine_radius,
+                               wpk, wck, return_sad=final)
+            dmv, sad = res if final else (res, None)
+            mv = mv + dmv
+    mv = mv[:, : h // block_size, : w // block_size]
+    if return_sad:
+        return mv, sad[:, : h // block_size, : w // block_size]
+    return mv

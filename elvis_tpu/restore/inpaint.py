@@ -15,9 +15,11 @@ self-contained slots are:
     its content survives, warped along accumulated block motion (the
     flow-guidance move of ProPainter, reference elvis.py:1458, with
     block-matching standing in for RAFT flow), then residual holes relax.
-    Removed blocks rarely coincide across frames (scores are temporally
-    smoothed but removal is per-frame argsort), which is exactly why the
-    reference uses *video* inpainting.
+    Temporal propagation only works when the encoder actually transmits
+    each hole's content nearby: pure top-k removal tracks content (79%
+    frame-to-frame persistence measured on the long-run pan, VERDICT r4
+    #1), which is why the shrink stage temporally dithers the removal
+    set by default (``shrink_removal_cooldown``, degrade/removal.py).
   * a neural slot (elvis_tpu.models.inpaint_net) for the learned path.
 """
 
@@ -84,6 +86,7 @@ def restore_removal_temporal(
     motion_radius: int = 4,
     ref_stride: int = 0,
     max_refs: int = -1,
+    motion_levels: int = 3,
 ) -> jnp.ndarray:
     """Fill each removed block from the temporally nearest frame (within
     +-``window``) where its CONTENT survives — warped along accumulated
@@ -100,9 +103,16 @@ def restore_removal_temporal(
     the zero-motion variant would read content offset by the pan.
 
     ``motion_radius=0`` disables compensation (the zero-motion variant,
-    kept as the cheap path and as the ablation baseline). The search is
-    windowed (O(N*window)); blocks with no clean warped source in the
-    window try the NON-LOCAL reference frames — every ``ref_stride``-th
+    kept as the cheap path and as the ablation baseline). The estimator
+    is the coarse-to-fine pyramid (``motion_levels`` levels, effective
+    range ~ ``motion_radius * 2^(levels-1) + ...`` px/frame): the r4
+    long-run artifacts showed the flat +-4 px search SATURATING on the
+    ~5-9 px/frame pan — the cumulative motion chain diverged (measured
+    est (-49,-20) vs true (-161,-156) px at frame 31) and the warped fill
+    copied textured content from the wrong place, landing BELOW the PDE
+    fill (the r4 quality inversion). ``motion_levels=1`` recovers the
+    flat search. The search is windowed (O(N*window)); blocks with no
+    clean warped source in the window try the NON-LOCAL reference frames — every ``ref_stride``-th
     frame of the clip, ProPainter's global reference set
     (``propainter_ref_stride``, reference elvis.py:1458 plumbing;
     0 disables) — and only then fall back to PDE diffusion.
@@ -111,38 +121,83 @@ def restore_removal_temporal(
     removed = removal_mask.astype(bool)  # (N,By,Bx)
     by, bx = removed.shape[1], removed.shape[2]
 
-    zero_cum = jnp.zeros((n, by, bx, 2), jnp.int32)
-    out = _propagate_fill(frames, removed, zero_cum, block_size, window, iters,
-                          ref_stride, max_refs)
     if motion_radius > 0 and n > 1:
-        from elvis_tpu.ops.color import rgb_to_gray
-        from elvis_tpu.ops.motion import block_motion
-
-        # Two-phase: motion is estimated on the HOLE-FREE zero-motion fill
-        # (estimating on hole-corrupted frames produced spurious vectors
-        # that the cumulative chain then amplified across the clip), then
-        # the fill is redone with warped sources. Static content estimates
-        # exactly zero motion, reproducing the zero-motion result.
-        luma = rgb_to_gray(out.astype(jnp.float32))
-        mv = block_motion(luma[:-1], luma[1:], block_size, motion_radius)
-        # Flow completion (the ProPainter move): a block holed at either
-        # end of a pair was zero-motion-filled with CO-LOCATED content, so
-        # its apparent motion is spuriously zero — exactly at the blocks
-        # that need warping. Replace motion at hole-affected blocks with
-        # the pair's median over clean blocks (exact for global pans).
-        pair_clean = ~removed[:-1] & ~removed[1:]  # (N-1,By,Bx)
-        masked = jnp.where(pair_clean[..., None], mv.astype(jnp.float32), jnp.nan)
-        med = jnp.nan_to_num(jnp.nanmedian(masked, axis=(1, 2), keepdims=True))
-        mv = jnp.where(pair_clean[..., None], mv, jnp.round(med).astype(jnp.int32))
-        mv = jnp.concatenate([jnp.zeros((1, by, bx, 2), jnp.int32), mv], axis=0)
+        mv = _estimate_hole_motion(frames, removed, block_size,
+                                   motion_radius, motion_levels)
         # Co-located accumulation: exact for global pans, approximate for
         # locally smooth object motion.
         cum = jnp.cumsum(mv, axis=0)  # (N,By,Bx,2) pixels
         out = _propagate_fill(frames, removed, cum, block_size, window, iters,
                               ref_stride, max_refs)
+    else:
+        zero_cum = jnp.zeros((n, by, bx, 2), jnp.int32)
+        out = _propagate_fill(frames, removed, zero_cum, block_size, window,
+                              iters, ref_stride, max_refs)
     if jnp.issubdtype(frames.dtype, jnp.integer):
         out = jnp.clip(jnp.round(out), 0, 255)
     return out.astype(frames.dtype)
+
+
+def _estimate_hole_motion(
+    frames: jnp.ndarray,
+    removed: jnp.ndarray,
+    block_size: int,
+    motion_radius: int,
+    motion_levels: int,
+) -> jnp.ndarray:
+    """Per-pair block motion of a HOLE-STRETCHED clip, hole-completed.
+
+    Matching runs directly on the holed frames with the hole pixels
+    masked out of the SAD (``block_motion_pyramid`` weights): the r4 path
+    estimated on a zero-motion PREFILL, whose stale co-located content
+    dragged every minimum toward zero — est (-49,-20) vs true (-161,-156)
+    px cumulative at frame 31 of the long-run pan
+    (docs/diag_inpaint_inversion.json). Masked matching has no such bias.
+
+    Flow completion (the ProPainter move, reference elvis.py:1458): a
+    fully-holed block ties to zero motion, exactly where warping is
+    needed. Instead of the r4 global median (which assigned PAN motion to
+    holes on independently-moving objects), the field is completed
+    LOCALLY — masked Jacobi diffusion over hole blocks, initialized at
+    the pair's clean-block median — so a hole inside a moving object
+    inherits the object's motion from its clean neighbours, and a hole in
+    the background inherits the pan.
+    """
+    from elvis_tpu.ops.color import rgb_to_gray
+    from elvis_tpu.ops.motion import block_motion_pyramid
+
+    by, bx = removed.shape[1], removed.shape[2]
+    luma = rgb_to_gray(frames.astype(jnp.float32))
+    valid = 1.0 - upsample_map(removed, block_size).astype(jnp.float32)
+    mv, sad = block_motion_pyramid(
+        luma[:-1], luma[1:], block_size, motion_radius, levels=motion_levels,
+        prev_weight=valid[:-1], cur_weight=valid[1:], return_sad=True,
+    )
+    # Reliability: the pair's co-located blocks are clean AND the winning
+    # masked SAD is consistent with a genuine match. A block whose true
+    # source region is entirely holed in prev has NO matchable offset —
+    # the search then "wins" on wrong content with a SAD well above the
+    # genuine-match level (measured: garbage 5-13 vs genuine 0-1.6 on an
+    # exact-shift pan). The threshold self-calibrates per pair against
+    # the median clean-block SAD, so codec noise (which lifts ALL SADs)
+    # doesn't mass-flag real matches.
+    pair_clean = ~removed[:-1] & ~removed[1:]  # (N-1,By,Bx)
+    sad_clean = jnp.where(pair_clean, sad, jnp.nan)
+    med_sad = jnp.nan_to_num(
+        jnp.nanmedian(sad_clean, axis=(1, 2), keepdims=True))
+    reliable = pair_clean & (sad <= 3.0 * med_sad + 2.0)
+    # Complete the field at unreliable blocks: clean-median init + local
+    # diffusion (30 iters reaches ~30 blocks of propagation radius), so a
+    # hole inside a moving object inherits the object's motion while a
+    # background hole inherits the pan.
+    masked = jnp.where(reliable[..., None], mv.astype(jnp.float32), jnp.nan)
+    med = jnp.nan_to_num(jnp.nanmedian(masked, axis=(1, 2), keepdims=True))
+    init = jnp.where(reliable[..., None], mv.astype(jnp.float32), med)
+    hole = (~reliable)[..., None]
+    smooth = _masked_jacobi(init, hole, iters=30)
+    mv = jnp.where(reliable[..., None], mv,
+                   jnp.round(smooth).astype(jnp.int32))
+    return jnp.concatenate([jnp.zeros((1, by, bx, 2), jnp.int32), mv], axis=0)
 
 
 def _propagate_fill(

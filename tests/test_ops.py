@@ -192,3 +192,134 @@ class TestDCT:
         x = jnp.asarray(rng.random((8, 8)).astype(np.float32))
         c = np.asarray(dct.block_dct2(x))
         np.testing.assert_allclose(c[0, 0], np.asarray(x).mean() * 8, atol=1e-5)
+
+
+class TestBlockMotion:
+    """ops.motion: the flat search saturates at +-radius; the pyramid
+    (r5, VERDICT r4 #1) must recover pans well beyond it — the r4
+    long-run pan moved 5-9 px/frame against a radius-4 search, and the
+    clamped estimates diverged into the inpainting quality inversion."""
+
+    def _pair(self, rng, dy, dx, h=96, w=128):
+        from elvis_tpu.ops.filter import gaussian_blur
+
+        pad = 32
+        canvas = (rng.random((h + 2 * pad, w + 2 * pad)) * 255).astype(np.float32)
+        canvas = np.asarray(
+            gaussian_blur(jnp.asarray(canvas[..., None]), 7, 1.5)
+        )[..., 0]
+        prev = canvas[pad : pad + h, pad : pad + w]
+        cur = canvas[pad - dy : pad - dy + h, pad - dx : pad - dx + w]
+        return jnp.asarray(prev[None]), jnp.asarray(cur[None])
+
+    def test_flat_recovers_small_shift(self, rng):
+        from elvis_tpu.ops.motion import block_motion
+
+        prev, cur = self._pair(rng, 3, -2)
+        mv = np.asarray(block_motion(prev, cur, 16, 4))
+        med = np.median(mv.reshape(-1, 2), axis=0)
+        np.testing.assert_array_equal(med, [3, -2])
+
+    def test_flat_saturates_beyond_radius(self, rng):
+        from elvis_tpu.ops.motion import block_motion
+
+        prev, cur = self._pair(rng, 11, 9)
+        mv = np.asarray(block_motion(prev, cur, 16, 4))
+        assert np.abs(mv).max() <= 4  # clamped — the r4 failure mode
+
+    def test_pyramid_recovers_large_shift(self, rng):
+        from elvis_tpu.ops.motion import block_motion_pyramid
+
+        for dy, dx in [(11, 9), (-17, 20), (9, -6)]:
+            prev, cur = self._pair(rng, dy, dx)
+            mv = np.asarray(block_motion_pyramid(prev, cur, 16, 4, levels=3))
+            med = np.median(mv.reshape(-1, 2), axis=0)
+            np.testing.assert_array_equal(med, [dy, dx], err_msg=f"{(dy, dx)}")
+
+    def test_pyramid_levels1_matches_flat(self, rng):
+        from elvis_tpu.ops.motion import block_motion, block_motion_pyramid
+
+        prev, cur = self._pair(rng, 2, 1)
+        a = np.asarray(block_motion(prev, cur, 16, 4))
+        b = np.asarray(block_motion_pyramid(prev, cur, 16, 4, levels=1))
+        np.testing.assert_array_equal(a, b)
+
+    def test_pyramid_zero_on_static(self, rng):
+        from elvis_tpu.ops.motion import block_motion_pyramid
+
+        prev, cur = self._pair(rng, 0, 0)
+        mv = np.asarray(block_motion_pyramid(prev, cur, 16, 4, levels=3))
+        np.testing.assert_array_equal(mv, 0)
+
+    def test_pyramid_nonaligned_shape(self, rng):
+        """H/W not divisible by block*2^(levels-1): internal padding must
+        return the original grid and still find the shift."""
+        from elvis_tpu.ops.motion import block_motion_pyramid
+
+        prev, cur = self._pair(rng, 6, 5, h=80, w=112)  # 80/16=5 blocks, /4 pads
+        mv = np.asarray(block_motion_pyramid(prev, cur, 16, 4, levels=3))
+        assert mv.shape == (1, 5, 7, 2)
+        med = np.median(mv.reshape(-1, 2), axis=0)
+        np.testing.assert_array_equal(med, [6, 5])
+
+
+class TestFastPanInpaint:
+    """MC temporal inpainting on a pan FASTER than the flat radius — the
+    exact r4 inversion scenario (VERDICT r4 #1). With the pyramid
+    estimator the warped fill must beat both the co-located fill and the
+    PDE diffusion fill on hole pixels."""
+
+    def test_mc_beats_zero_motion_and_pde_on_fast_pan(self, rng):
+        from elvis_tpu.core.blocks import upsample_map
+        from elvis_tpu.ops.filter import gaussian_blur
+        from elvis_tpu.restore.inpaint import (
+            restore_removal_diffusion,
+            restore_removal_temporal,
+        )
+
+        n, h, w, pan = 8, 48, 64, 9  # 9 px/frame >> flat radius 4
+        wide = (rng.random((h, w + pan * n, 3)) * 255).astype(np.float32)
+        wide = np.asarray(gaussian_blur(jnp.asarray(wide), 5, 1.2))
+        clip = np.clip(
+            np.stack([wide[:, pan * t : pan * t + w] for t in range(n)]), 0, 255
+        ).astype(np.uint8)
+        mask = (rng.random((n, h // 8, w // 8)) < 0.2).astype(np.int8)
+        holes = np.asarray(upsample_map(jnp.asarray(mask), 8))[..., None].astype(bool)
+        holed = jnp.asarray(np.where(holes, 0, clip))
+        m = jnp.asarray(mask)
+
+        def hole_mse(out):
+            d = (np.asarray(out, np.float64) - clip.astype(np.float64)) ** 2
+            return float(d[holes[..., 0]].mean())
+
+        mc = hole_mse(restore_removal_temporal(holed, m, 8, motion_radius=4))
+        zm = hole_mse(restore_removal_temporal(holed, m, 8, motion_radius=0))
+        pde = hole_mse(restore_removal_diffusion(holed, m, 8))
+        # masked pyramid + SAD-reliability completion measured 15.4 vs
+        # ZM 623 / PDE 249 — lock in >=5x, not just "better"
+        assert mc < 0.2 * zm, (mc, zm)
+        assert mc < 0.2 * pde, (mc, pde)
+
+    def test_unmatchable_blocks_flagged_by_sad(self, rng):
+        """A clean block whose TRUE source region is fully holed in prev
+        is unmatchable — block_motion(return_sad=True) must price its
+        bogus winner well above genuine matches (the reliability signal
+        _estimate_hole_motion thresholds on)."""
+        from elvis_tpu.core.blocks import upsample_map
+        from elvis_tpu.ops.filter import gaussian_blur
+        from elvis_tpu.ops.motion import block_motion
+
+        h, w = 64, 64
+        canvas = (rng.random((h, w + 16)) * 255).astype(np.float32)
+        canvas = np.asarray(gaussian_blur(jnp.asarray(canvas[..., None]), 5, 1.2))[..., 0]
+        prev, cur = canvas[:, 8:8 + w], canvas[:, :w]  # shift (0,-8)
+        mask_prev = np.zeros((8, 8), bool)
+        mask_prev[4, 4] = mask_prev[4, 5] = True  # holes at cur block (4,5)'s source
+        wp = 1.0 - np.asarray(upsample_map(jnp.asarray(mask_prev[None]), 8))[0]
+        mv, sad = block_motion(
+            jnp.asarray(np.where(wp == 0, 0, prev)[None]), jnp.asarray(cur[None]),
+            8, 8, jnp.asarray(wp[None]), None, return_sad=True,
+        )
+        sad = np.asarray(sad)[0]
+        genuine = np.median(sad)
+        assert float(sad[4, 5]) > 3 * genuine + 2.0, (float(sad[4, 5]), genuine)
