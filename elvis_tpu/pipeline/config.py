@@ -156,6 +156,14 @@ class ElvisConfig:
     nvc_intra_pred: bool = True        # NVC: spatial intra prediction on
                                        # keyframes (DC/vert/gradient, r4)
     saliency_backend: str = "motion_contrast"
+    # Temporal dithering of the shrink selection: a removed block is
+    # protected from removal for this many following frames, so every
+    # hole's content is transmitted at most `cooldown` frames away and
+    # the ProPainter-style temporal propagation has a real source to
+    # warp (pure top-k removal tracks content: measured 79%/frame
+    # persistence, only 24% of holes recoverable — VERDICT r4 #1).
+    # 0 restores the reference's pure top-k (elvis.py:1387-1455).
+    shrink_removal_cooldown: int = 1
     # Backend lists drive the restoration approach rows (restore.backends):
     # the first entry fills the reference's label for that slot, extra
     # entries add extra comparison rows. Neural names auto-load shipped

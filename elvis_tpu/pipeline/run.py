@@ -52,7 +52,6 @@ from elvis_tpu.codec.sidecar import load_strength_maps_video, save_strength_maps
 from elvis_tpu.degrade import (
     adaptive_blur,
     adaptive_downsample,
-    apply_selective_removal,
     stretch_frames,
 )
 from elvis_tpu.metrics.evaluate import analyze_encoding_performance
@@ -418,21 +417,40 @@ class _DataParallel:
         return out[:n]
 
 
+def _rss_gb() -> float:
+    """Current process RSS in GB (0.0 where /proc is unavailable)."""
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        return pages * os.sysconf("SC_PAGE_SIZE") / 1e9
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
 class _StageTimes(dict):
     """execution_times dict that narrates each stage as it lands — the
     reference's banner logging (elvis.py:885-887) surfaced through the
     one place every stage already reports to. Prints survive closed
-    stdout (elvis.py:397-411 `_safe_print` semantics)."""
+    stdout (elvis.py:397-411 `_safe_print` semantics).
+
+    Also samples host RSS per stage into ``.rss_gb`` (VERDICT r4 #7: the
+    128f long run peaked at 78 GB with no way to tell WHICH stage held
+    the clip-sized copies — the axon plugin leaks ~25% of every
+    host->device push, so per-stage RSS localizes the big pushers too)."""
 
     def __init__(self, verbose: bool):
         super().__init__()
         self._verbose = verbose
+        self.rss_gb: Dict[str, float] = {}
 
     def __setitem__(self, key, value):
         super().__setitem__(key, value)
+        rss = _rss_gb()
+        self.rss_gb[key] = round(rss, 2)
         if self._verbose:
             try:
-                print(f"[elvis_tpu] {key}: {value:.1f}s", flush=True)
+                print(f"[elvis_tpu] {key}: {value:.1f}s (rss {rss:.1f} GB)",
+                      flush=True)
             except (ValueError, OSError):
                 pass
 
@@ -667,22 +685,33 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
     t0 = time.time()
 
     def _shrink():
-        # Per-frame op (static removal count per row): bounded-memory
-        # frame chunks, frames pushed per chunk (nothing clip-sized stays
-        # on device).
-        jrm = jax.jit(
-            lambda f, sc_: apply_selective_removal(f, sc_, b, config.shrink_amount)
+        # The removal mask is computed over the WHOLE clip first (scores
+        # are block-granular — tiny; the cooldown scan carries per-block
+        # protection state across frames, so it cannot be chunked), then
+        # the pixel gather runs in bounded-memory frame chunks (nothing
+        # clip-sized stays on device).
+        from elvis_tpu.degrade.removal import (
+            apply_removal_mask, removal_blocks_per_row,
+            removal_mask_from_scores,
         )
+
+        bx = frames_np.shape[2] // b
+        k = removal_blocks_per_row(bx, config.shrink_amount)
+        mask_all = np.asarray(jax.jit(
+            lambda sc_: removal_mask_from_scores(
+                sc_, bx, config.shrink_amount,
+                cooldown=config.shrink_removal_cooldown)
+        )(scores))
+        jrm = jax.jit(lambda f, m_: apply_removal_mask(f, m_, b, k))
         chunk = _DataParallel._chunk_frames(frames_np.shape)
-        shrunk_l, mask_l = [], []
+        shrunk_l = []
         for s0 in range(0, n, chunk):
             e0 = min(s0 + chunk, n)
-            f, m = jrm(jnp.asarray(frames_np[s0:e0]), scores[s0:e0])
+            f = jrm(jnp.asarray(frames_np[s0:e0]), jnp.asarray(mask_all[s0:e0]))
             shrunk_l.append(pull(f))
-            mask_l.append(np.asarray(m))
         s = codec.encode(np.concatenate(shrunk_l), **enc_kw)
         return {"stream": s, "decoded": codec.decode(s),
-                "removal_mask": np.concatenate(mask_l)}
+                "removal_mask": mask_all}
 
     r = cache.get_or_run("shrink_encode", _branch_key, _shrink)
     streams["shrunk"] = r["stream"]
@@ -845,6 +874,35 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
     # label -> encoded branch whose bitrate the row inherits (stage 11)
     row_branch: Dict[str, str] = {}
 
+    def _ckpt_stamp(prov: str) -> list:
+        """Checkpoint-freshness component for restore-stage cache keys: the
+        provenance string carries the checkpoint path; stamp its newest
+        file mtime so a retrained model invalidates cached restores."""
+        import re as _re
+
+        m = _re.search(r":(\S+?)\[", prov)
+        stamp = []
+        if m and os.path.isdir(m.group(1)):
+            for root_, _, files_ in os.walk(m.group(1)):
+                stamp.extend(
+                    os.path.getmtime(os.path.join(root_, f_)) for f_ in files_
+                )
+        return sorted(stamp)
+
+    def _cached_restore(stage: str, prov: str, compute) -> np.ndarray:
+        """Content-addressed resume for the restore stages (VERDICT r4 #6):
+        the committed long run spent 70% of its resume pass re-running
+        UNcached inpaint/SR/deblur (E2FGVI alone 1483 s) while only the
+        encode branches were cached. The reference effectively checkpoints
+        every stage via its filesystem staging (elvis.py:3895-3906).
+        Output is determined by (config, input frames, backend provenance,
+        checkpoint freshness) — _branch_key already digests the first two."""
+        r = cache.get_or_run(
+            stage, [_branch_key, prov, _ckpt_stamp(prov)],
+            lambda: {"frames": np.asarray(compute())},
+        )
+        return r["frames"]
+
     # --- stage 8: inpainting (elvis.py:4601-4661) ----------------------------
     _inpaint_labels = {
         "diffusion": (APPROACHES.ELVIS_CV2, "CV2 Inpainting"),
@@ -863,9 +921,12 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         backend_provenance[label] = prov
         row_branch[label] = "shrunk"
         t0 = time.time()
-        out = _apply_inpaint_backend(dp, name, fn, stretched, removal_mask, b,
-                                     devices=_inpaint_devices.get(name))
-        decoded[label] = pull(out)
+        decoded[label] = _cached_restore(
+            f"inpaint_{name}", prov,
+            lambda: pull(_apply_inpaint_backend(
+                dp, name, fn, stretched, removal_mask, b,
+                devices=_inpaint_devices.get(name))),
+        )
         dt = time.time() - t0
         execution_times[timer] = dt
         approach_times[label] += dt
@@ -879,14 +940,18 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         backend_provenance[label] = prov
         row_branch[label] = "downsampled"
         t0 = time.time()
-        sr_out = _restore_framewise(fn, down_decoded, levels_dec,
-                                    devices=config.realesrgan_devices)
-        if config.temporal_blend > 0:
-            sr_out = dp.apply_temporal(
-                as_pixels_u8(lambda f: temporal_blend(f, config.temporal_blend)),
-                (sr_out,), overlap=8,
-            )
-        decoded[label] = pull(sr_out)
+
+        def _run_sr(fn=fn):
+            sr_out = _restore_framewise(fn, down_decoded, levels_dec,
+                                        devices=config.realesrgan_devices)
+            if config.temporal_blend > 0:
+                sr_out = dp.apply_temporal(
+                    as_pixels_u8(lambda f: temporal_blend(f, config.temporal_blend)),
+                    (sr_out,), overlap=8,
+                )
+            return pull(sr_out)
+
+        decoded[label] = _cached_restore(f"sr_{name}", prov, _run_sr)
         dt = time.time() - t0
         execution_times[timer] = dt
         approach_times[label] += dt
@@ -900,14 +965,18 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         backend_provenance[label] = prov
         row_branch[label] = "gaussian"
         t0 = time.time()
-        deblurred = _restore_framewise(fn, blur_decoded, blur_levels_dec,
-                                       devices=config.instantir_devices)
-        if config.temporal_blend > 0:
-            deblurred = dp.apply_temporal(
-                as_pixels_u8(lambda f: temporal_blend(f, config.temporal_blend)),
-                (deblurred,), overlap=8,
-            )
-        decoded[label] = pull(deblurred)
+
+        def _run_deblur(fn=fn):
+            deblurred = _restore_framewise(fn, blur_decoded, blur_levels_dec,
+                                           devices=config.instantir_devices)
+            if config.temporal_blend > 0:
+                deblurred = dp.apply_temporal(
+                    as_pixels_u8(lambda f: temporal_blend(f, config.temporal_blend)),
+                    (deblurred,), overlap=8,
+                )
+            return pull(deblurred)
+
+        decoded[label] = _cached_restore(f"deblur_{name}", prov, _run_deblur)
         dt = time.time() - t0
         execution_times[timer] = dt
         approach_times[label] += dt
@@ -978,6 +1047,12 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
 
     # --- result assembly (elvis.py:4918-4933 schema) ---------------------------
     analysis_results["execution_times_seconds"] = execution_times
+    # resume observability: which content-addressed stages were served
+    # from disk (hits) vs computed (misses) on THIS run
+    analysis_results["stage_cache"] = {
+        "hits": list(cache.hits), "misses": list(cache.misses),
+    }
+    analysis_results["stage_rss_gb"] = dict(execution_times.rss_gb)
     analysis_results["video_name"] = config.reference_video
     analysis_results["video_length_seconds"] = duration
     analysis_results["video_framerate"] = framerate

@@ -120,6 +120,33 @@ class TestSelectiveRemoval:
             np.testing.assert_array_equal(np.asarray(mask[i]), want_mask)
             np.testing.assert_array_equal(np.asarray(shrunk[i]), want_img)
 
+    def test_cooldown_dithers_removal(self, tiny_video, rng):
+        """cooldown=1 (the r5 pipeline default, VERDICT r4 #1): a block
+        removed at frame t is protected at t+1, so every hole's content
+        is transmitted in an adjacent frame; per-row count k and the
+        cooldown=0 first frame stay exactly the reference's top-k."""
+        from elvis_tpu.degrade.removal import removal_mask_from_scores
+
+        b, amount = 8, 0.25
+        # persistent scores: the pathological case (top-k would remove
+        # the SAME blocks every frame — measured 79% persistence on the
+        # long-run pan)
+        scores = np.broadcast_to(
+            rng.random((1, 6, 8)).astype(np.float32), (5, 6, 8)
+        ).copy()
+        m0 = np.asarray(removal_mask_from_scores(jnp.asarray(scores), 8, amount, 0))
+        assert (m0[1:] == m0[:-1]).all()  # top-k: identical every frame
+        m1 = np.asarray(removal_mask_from_scores(jnp.asarray(scores), 8, amount, 1))
+        assert (m1.sum(-1) == 2).all()  # k per row preserved
+        np.testing.assert_array_equal(m1[0], m0[0])  # frame 0 = pure top-k
+        assert not (m1[:-1] & m1[1:]).any()  # no consecutive removal
+        # shrink path consumes the dithered mask identically
+        shrunk, mask = apply_selective_removal(
+            jnp.asarray(tiny_video), jnp.asarray(scores), b, amount, cooldown=1
+        )
+        np.testing.assert_array_equal(np.asarray(mask), m1)
+        assert shrunk.shape == (5, 48, 64 - 2 * b, 3)
+
     def test_stretch_restores_kept_blocks(self, tiny_video, rng):
         b, amount = 8, 0.25
         scores = rng.random((5, 6, 8)).astype(np.float32)
