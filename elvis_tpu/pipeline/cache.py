@@ -52,6 +52,11 @@ class StageCache:
     def __init__(self, root: Optional[str], enabled: bool = True):
         self.root = root
         self.enabled = enabled and root is not None
+        # resume observability: which stages were served from disk vs run
+        # (surfaced as analysis_results["stage_cache"] by run_elvis, so a
+        # long-run digest can show restore-stage hits — VERDICT r4 #6)
+        self.hits: list = []
+        self.misses: list = []
         if self.enabled:
             os.makedirs(root, exist_ok=True)
 
@@ -71,7 +76,9 @@ class StageCache:
                     out[k[: -len("__bytes")]] = data[k].tobytes()
                 else:
                     out[k] = data[k]
+            self.hits.append(stage)
             return out
+        self.misses.append(stage)
         result = fn()
         to_save = {}
         for k, v in result.items():

@@ -387,8 +387,20 @@ class TestStageResume:
         first = sum(r1["execution_times_seconds"][k] for k in enc_keys)
         second = sum(r2["execution_times_seconds"][k] for k in enc_keys)
         assert second < 0.5 * first, (first, second, resumed_wall)
+        # r5 (VERDICT r4 #6): the RESTORE stages resume too — the long
+        # run's resume pass spent 70% of its wall re-running uncached
+        # inpaint/SR/deblur. Identical outputs, recorded as hits.
+        hits2 = r2["stage_cache"]["hits"]
+        for stage in ("inpaint_", "sr_", "deblur_"):
+            assert any(h.startswith(stage) for h in hits2), (stage, hits2)
+        assert r2["stage_cache"]["misses"] == []
+        for label in (APPROACHES.ELVIS_PROP, APPROACHES.PRESLEY_REALESRGAN,
+                      APPROACHES.PRESLEY_INSTANTIR):
+            assert (r1[label]["foreground"]["psnr_mean"]
+                    == r2[label]["foreground"]["psnr_mean"])
+        assert "stage_rss_gb" in r2 and r2["stage_rss_gb"]
         cache_files = list((tmp_path / "exp" / "stage_cache").glob("*.npz"))
-        assert len(cache_files) >= 6  # scoring + 5 encode branches
+        assert len(cache_files) >= 9  # scoring + 5 encodes + 3+ restores
 
 
 class TestChunkedScoring:
