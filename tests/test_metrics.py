@@ -202,23 +202,48 @@ class TestFvmdIncremental:
         np.testing.assert_allclose(
             _features_chunked(clip, None, 16, 4), one_shot, atol=1e-5
         )
-        one_shot_m = np.asarray(jfeat(jnp.asarray(clip * mask[..., None])))
+        jfeat_m = jax.jit(lambda f, m: motion_features(f, mask=m))
+        one_shot_m = np.asarray(jfeat_m(jnp.asarray(clip), jnp.asarray(mask)))
         np.testing.assert_allclose(
             _features_chunked(clip, mask, 16, 4), one_shot_m, atol=1e-5
         )
 
-    def test_mask_kwarg_equals_premasked_frames(self, rng):
-        from elvis_tpu.metrics.fvmd import fvmd_incremental
+    def test_mask_semantics(self, rng):
+        """r5 mask semantics (VERDICT r4 #5): the mask POOLS block
+        statistics of a full-frame motion field — it does NOT premask
+        pixels (that created phantom mask-edge motion). Invariants:
+        all-ones mask == no mask, and a region mask isolates that
+        region's motion (fg-masked features of a moving-left-half clip
+        differ from the bg-masked ones)."""
+        import jax
+
+        from elvis_tpu.metrics.fvmd import fvmd_incremental, motion_features
 
         ref = (rng.random((12, 32, 48, 3)) * 255).astype(np.float32)
         dec = np.clip(ref + rng.normal(0, 5, ref.shape), 0, 255).astype(np.float32)
-        mask = (rng.random((12, 32, 48)) < 0.5).astype(np.float32)
-        v_mask, s_mask = fvmd_incremental(ref, dec, mask=mask)
-        v_pre, s_pre = fvmd_incremental(
-            ref * mask[..., None], dec * mask[..., None]
-        )
-        assert np.isclose(v_mask, v_pre, atol=1e-6)
-        assert np.isclose(s_mask, s_pre, atol=1e-6)
+        ones = np.ones((12, 32, 48), np.float32)
+        v_mask, s_mask = fvmd_incremental(ref, dec, mask=ones)
+        v_none, s_none = fvmd_incremental(ref, dec)
+        assert np.isclose(v_mask, v_none, atol=1e-6)
+        assert np.isclose(s_mask, s_none, atol=1e-6)
+
+        # moving left half, static right half: region masks must separate
+        base = np.asarray(jax.image.resize(
+            jnp.asarray(rng.random((8, 12, 3)) * 255), (64, 96, 3), "linear"
+        ), np.float32)
+        clip = np.stack([base] * 8)
+        # 6 px/frame: above the first velocity-magnitude bin's edge
+        # (reach*1.5/bins = 22*1.5/8 ~= 4.1 px with the pyramid's range)
+        for t in range(8):
+            clip[t, :, :48] = np.roll(base[:, :48], 6 * t, axis=0)
+        fg = np.zeros((8, 64, 96), np.float32)
+        fg[:, :, :48] = 1.0
+        jfeat_m = jax.jit(lambda f, m: motion_features(f, mask=m))
+        f_fg = np.asarray(jfeat_m(jnp.asarray(clip), jnp.asarray(fg)))
+        f_bg = np.asarray(jfeat_m(jnp.asarray(clip), jnp.asarray(1.0 - fg)))
+        # bg is static -> velocity-magnitude mass in bin 0; fg moves 3 px
+        assert float(f_bg[:, 0].mean()) > 0.9
+        assert float(f_fg[:, 0].mean()) < 0.5
 
     def test_region_pair_matches_per_region_extraction(self, rng, monkeypatch):
         """region_motion_features (one frames push -> FG+BG features)
