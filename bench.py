@@ -99,7 +99,84 @@ def main() -> int:
             vals.append(frames / ((time.time() - t0) / iters))
         return float(np.mean(vals)), float(np.std(vals))
 
+    # --- fixed-FLOP tunnel/device canaries (VERDICT r4 #2) ----------------
+    # The r3/r4 headline rows swung 20-27% ROUND-to-round (60.6 -> 48.64
+    # serving; 11.85 -> 8.6 at 4K) with within-run std ~0.2 — the drift is
+    # tunnel/host state, not the code under test, but the artifact had no
+    # way to prove that. Two constant-shape probes, measured in the SAME
+    # process with the same call pattern (jitted fn -> scalar pull):
+    #   * canary_roundtrip_ms — a trivial op: pure dispatch+pull latency.
+    #   * canary_compute_ms — 24 chained 2048^2 bf16 matmuls (~412 GFLOP,
+    #     fixed forever): device throughput + one round-trip.
+    # CANARY_REF_MS anchors normalization: every fps row also reports
+    # fps * (canary_compute_ms / CANARY_REF_MS), so a depressed-tunnel
+    # round reads as (high canary_ms, normalized ~= healthy fps) at a
+    # glance instead of as a silent regression.
+    def measure_canaries(reps=5):
+        k = jnp.asarray(
+            np.random.default_rng(1).standard_normal((2048, 2048)) * 0.02,
+            jnp.bfloat16,
+        )
+
+        @jax.jit
+        def compute(x):
+            def body(i, a):
+                return jnp.tanh(a @ x)
+
+            return (jax.lax.fori_loop(0, 24, body, x)[0, 0]).astype(jnp.float32)
+
+        @jax.jit
+        def tiny(x):
+            return (x[0, 0] + 1.0).astype(jnp.float32)
+
+        float(compute(k)), float(tiny(k))  # compile
+        rt, cp = [], []
+        for _ in range(reps):
+            t0 = time.time()
+            float(tiny(k))
+            rt.append((time.time() - t0) * 1e3)
+            t0 = time.time()
+            float(compute(k))
+            cp.append((time.time() - t0) * 1e3)
+        return float(np.median(rt)), float(np.median(cp))
+
+    CANARY_REF_MS = 55.0  # healthy-tunnel anchor, measured r5 on this image
+
+    canary_rt_ms, canary_cp_ms = measure_canaries()
+    tunnel_scale = canary_cp_ms / CANARY_REF_MS
+
+    def device_fps(fn_step, args, frames, loop_iters=8, reps=3):
+        """Pure device-time fps: `loop_iters` applications chained INSIDE
+        one jitted graph (each iteration re-reads the input plus an
+        iteration-dependent epsilon so XLA cannot collapse the loop), so
+        per-call tunnel dispatch/pull latency amortizes away. This is the
+        'device-time fps alongside wall-clock' the r4 verdict asked for —
+        it moves only when the compute under test moves."""
+
+        @jax.jit
+        def looped(*a):
+            def body(i, acc):
+                out = fn_step(a[0] + (i.astype(jnp.float32) * 1e-12), *a[1:])
+                return acc + out
+
+            return jax.lax.fori_loop(0, loop_iters, body, jnp.float32(0.0))
+
+        float(looped(*args))  # compile
+        vals = []
+        for _ in range(reps):
+            t0 = time.time()
+            float(looped(*args))
+            vals.append(frames * loop_iters / (time.time() - t0))
+        return float(np.median(vals))
+
     fps, fps_std = timed_fps(client, (degraded, levels), n, iters=10)
+    serving_device_fps = device_fps(
+        lambda d, l: jnp.mean(
+            progressive_restore(d, l, b, upsample_fn=upsample, max_level=max_level)
+        ),
+        (degraded, levels),
+        n,
+    )
 
     # Quality vs the classical baseline on held-out natural content (the
     # reference's flagship claim shape: trained ESRGAN > Lanczos,
@@ -145,6 +222,16 @@ def main() -> int:
             q_fps, q_std = timed_fps(q_client, (degraded, levels), n, iters=5)
             quality["quality_tier_fps_1080p"] = round(q_fps, 2)
             quality["quality_tier_fps_1080p_std"] = round(q_std, 2)
+            quality["quality_tier_fps_1080p_normalized"] = round(
+                q_fps * tunnel_scale, 2)
+            quality["quality_tier_device_fps_1080p"] = round(
+                device_fps(
+                    lambda d, l: jnp.mean(
+                        progressive_restore(d, l, b, upsample_fn=q_up,
+                                            max_level=max_level)
+                    ),
+                    (degraded, levels), n, loop_iters=4,
+                ), 2)
         # fully-INDEPENDENT holdouts (in NO training rotation): pygame's
         # 'camera' tutorial photo and gymnasium_robotics' 'marble_tile'
         # stone photograph — n>=2 independent sources guard the headline
@@ -204,6 +291,15 @@ def main() -> int:
         f4, f4_std = timed_fps(c4, (deg4, lev4), 2, iters=5)
         fps_4k = round(f4, 2)
         quality["serving_tier_fps_4k_std"] = round(f4_std, 2)
+        quality["serving_tier_fps_4k_normalized"] = round(f4 * tunnel_scale, 2)
+        quality["serving_tier_device_fps_4k"] = round(
+            device_fps(
+                lambda d, l: jnp.mean(
+                    progressive_restore(d, l, b, upsample_fn=up4,
+                                        max_level=max_level)
+                ),
+                (deg4, lev4), 2, loop_iters=4,
+            ), 2)
     except Exception:
         pass
     if fps_4k:
@@ -218,6 +314,11 @@ def main() -> int:
                 "value_std": round(fps_std, 2),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / baseline_fps, 2),
+                "canary_roundtrip_ms": round(canary_rt_ms, 1),
+                "canary_compute_ms": round(canary_cp_ms, 1),
+                "canary_ref_ms": CANARY_REF_MS,
+                "value_normalized": round(fps * tunnel_scale, 2),
+                "serving_device_fps_1080p": round(serving_device_fps, 2),
                 **quality,
             }
         )
