@@ -15,7 +15,8 @@ import jax.numpy as jnp
 
 from elvis_tpu.core.blocks import blockwise_reduce
 
-__all__ = ["block_motion", "block_motion_pyramid", "pyramid_range"]
+__all__ = ["block_motion", "block_motion_pyramid", "pyramid_range",
+           "field_sad", "median3_field"]
 
 
 def pyramid_range(radius: int, levels: int, refine_radius: int = 2) -> int:
@@ -113,6 +114,54 @@ def _warp_by_block_field(frames: jnp.ndarray, mv: jnp.ndarray, block_size: int) 
     sy = jnp.clip(yy - dy, 0, h - 1)
     sx = jnp.clip(xx - dx, 0, w - 1)
     return frames[jnp.arange(n)[:, None, None], sy, sx]
+
+
+def field_sad(
+    prev: jnp.ndarray,
+    cur: jnp.ndarray,
+    field: jnp.ndarray,
+    block_size: int,
+    prev_weight: jnp.ndarray | None = None,
+    cur_weight: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Masked per-block SAD of warping ``prev`` by an arbitrary integer
+    block ``field`` (same convention as ``block_motion``): the candidate-
+    arbitration primitive — evaluate competing motion fields (global
+    translation vs local median) on equal footing. Out-of-frame reads
+    and zero-weight pixels are excluded; a block with <25% valid mass is
+    penalized to 1e6 like ``block_motion``."""
+    n, h, w = prev.shape
+    f = jnp.round(field).astype(jnp.int32)
+    warped = _warp_by_block_field(prev.astype(jnp.float32), f, block_size)
+    wp = (jnp.ones_like(prev, jnp.float32) if prev_weight is None
+          else prev_weight.astype(jnp.float32))
+    wc = (jnp.ones_like(cur, jnp.float32) if cur_weight is None
+          else cur_weight.astype(jnp.float32))
+    wwarp = _warp_by_block_field(wp, f, block_size)
+    from elvis_tpu.core.blocks import upsample_map
+
+    dy = upsample_map(f[..., 0], block_size)
+    dx = upsample_map(f[..., 1], block_size)
+    yy = jnp.arange(h)[None, :, None]
+    xx = jnp.arange(w)[None, None, :]
+    inb = ((yy - dy >= 0) & (yy - dy < h) & (xx - dx >= 0)
+           & (xx - dx < w)).astype(jnp.float32)
+    wgt = wc * wwarp * inb
+    num = blockwise_reduce(
+        jnp.abs(cur.astype(jnp.float32) - warped) * wgt, block_size, jnp.mean)
+    den = blockwise_reduce(wgt, block_size, jnp.mean)
+    return num / jnp.maximum(den, 1e-6) + jnp.where(den < 0.25, 1e6, 0.0)
+
+
+def median3_field(field: jnp.ndarray) -> jnp.ndarray:
+    """3x3 spatial median of a block-motion field ``(N,By,Bx,2)`` (edge
+    padded) — the standard isolated-outlier killer for block matching."""
+    f = field.astype(jnp.float32)
+    p = jnp.pad(f, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    stk = jnp.stack(
+        [p[:, 1 + dy : p.shape[1] - 1 + dy, 1 + dx : p.shape[2] - 1 + dx]
+         for dy in (-1, 0, 1) for dx in (-1, 0, 1)], axis=0)
+    return jnp.median(stk, axis=0)
 
 
 def block_motion_pyramid(

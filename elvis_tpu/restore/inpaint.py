@@ -145,58 +145,89 @@ def _estimate_hole_motion(
     motion_radius: int,
     motion_levels: int,
 ) -> jnp.ndarray:
-    """Per-pair block motion of a HOLE-STRETCHED clip, hole-completed.
+    """Per-pair block motion of a HOLE-STRETCHED clip, robust to codec
+    degradation: GLOBAL translation by default, LOCAL deviation only
+    where it provably matches better.
 
-    Matching runs directly on the holed frames with the hole pixels
-    masked out of the SAD (``block_motion_pyramid`` weights): the r4 path
-    estimated on a zero-motion PREFILL, whose stale co-located content
-    dragged every minimum toward zero — est (-49,-20) vs true (-161,-156)
-    px cumulative at frame 31 of the long-run pan
-    (docs/diag_inpaint_inversion.json). Masked matching has no such bias.
+    Design (r5, measured on the long-run pan at its real bitrate,
+    docs/diag_inpaint_inversion.json):
 
-    Flow completion (the ProPainter move, reference elvis.py:1458): a
-    fully-holed block ties to zero motion, exactly where warping is
-    needed. Instead of the r4 global median (which assigned PAN motion to
-    holes on independently-moving objects), the field is completed
-    LOCALLY — masked Jacobi diffusion over hole blocks, initialized at
-    the pair's clean-block median — so a hole inside a moving object
-    inherits the object's motion from its clean neighbours, and a hole in
-    the background inherits the pan.
+    * Matching runs directly on the holed frames with hole pixels masked
+      out of the SAD (``block_motion_pyramid`` weights) — the r4 path
+      estimated on a zero-motion prefill whose stale co-located content
+      dragged every minimum toward zero.
+    * Estimation uses 2x the fill block size: on heavily-quantized
+      decoded content, 8 px blocks lock onto codec blocking artifacts
+      (median error 1.0/1.9 px per pair); 16 px blocks carry enough
+      content signal (0.2/0.6 px).
+    * PER-BLOCK vectors are still too noisy on decoded content to drive
+      the fill (hole PSNR 15.9 dB); the per-pair GLOBAL median over
+      reliable blocks is nearly oracle-grade (18.6 vs oracle 19.4,
+      PDE 16.6). Reliable = clean co-located pair + winning SAD below
+      3x the pair's median clean-block SAD + 2 (self-calibrating, so
+      codec noise that lifts ALL SADs doesn't mass-flag real matches).
+    * Independently-moving objects (the flow-completion problem,
+      ProPainter's core concern, reference elvis.py:1458) get a LOCAL
+      candidate: the 3x3-median-smoothed field. Each block takes the
+      local candidate only where its masked warp SAD beats the global
+      candidate's by a margin — background stays pinned to the pan,
+      object interiors follow the object.
     """
     from elvis_tpu.ops.color import rgb_to_gray
-    from elvis_tpu.ops.motion import block_motion_pyramid
+    from elvis_tpu.ops.motion import (
+        block_motion_pyramid, field_sad, median3_field,
+    )
 
+    n = frames.shape[0]
     by, bx = removed.shape[1], removed.shape[2]
+    est_b = 2 * block_size
     luma = rgb_to_gray(frames.astype(jnp.float32))
     valid = 1.0 - upsample_map(removed, block_size).astype(jnp.float32)
+    # pad to the estimation grid (edge luma, zero validity)
+    h, w = luma.shape[1], luma.shape[2]
+    hp = -(-h // est_b) * est_b
+    wp = -(-w // est_b) * est_b
+    if (hp, wp) != (h, w):
+        grow = ((0, 0), (0, hp - h), (0, wp - w))
+        luma = jnp.pad(luma, grow, mode="edge")
+        valid = jnp.pad(valid, grow, mode="constant")
     mv, sad = block_motion_pyramid(
-        luma[:-1], luma[1:], block_size, motion_radius, levels=motion_levels,
+        luma[:-1], luma[1:], est_b, motion_radius, levels=motion_levels,
         prev_weight=valid[:-1], cur_weight=valid[1:], return_sad=True,
     )
-    # Reliability: the pair's co-located blocks are clean AND the winning
-    # masked SAD is consistent with a genuine match. A block whose true
-    # source region is entirely holed in prev has NO matchable offset —
-    # the search then "wins" on wrong content with a SAD well above the
-    # genuine-match level (measured: garbage 5-13 vs genuine 0-1.6 on an
-    # exact-shift pan). The threshold self-calibrates per pair against
-    # the median clean-block SAD, so codec noise (which lifts ALL SADs)
-    # doesn't mass-flag real matches.
-    pair_clean = ~removed[:-1] & ~removed[1:]  # (N-1,By,Bx)
-    sad_clean = jnp.where(pair_clean, sad, jnp.nan)
+    ey, ex = mv.shape[1], mv.shape[2]
+    # clean at the estimation grid: every covered fill block clean in
+    # both frames
+    pc = (~removed[:-1]) & (~removed[1:])  # (N-1,By,Bx)
+    pc_pad = jnp.pad(pc, ((0, 0), (0, 2 * ey - by), (0, 2 * ex - bx)),
+                     mode="constant")
+    clean_e = pc_pad.reshape(n - 1, ey, 2, ex, 2).all(axis=(2, 4))
+    sad_clean = jnp.where(clean_e, sad, jnp.nan)
     med_sad = jnp.nan_to_num(
         jnp.nanmedian(sad_clean, axis=(1, 2), keepdims=True))
-    reliable = pair_clean & (sad <= 3.0 * med_sad + 2.0)
-    # Complete the field at unreliable blocks: clean-median init + local
-    # diffusion (30 iters reaches ~30 blocks of propagation radius), so a
-    # hole inside a moving object inherits the object's motion while a
-    # background hole inherits the pan.
+    reliable = clean_e & (sad <= 3.0 * med_sad + 2.0)
+
+    # candidate G: per-pair global translation (median over reliable)
     masked = jnp.where(reliable[..., None], mv.astype(jnp.float32), jnp.nan)
-    med = jnp.nan_to_num(jnp.nanmedian(masked, axis=(1, 2), keepdims=True))
-    init = jnp.where(reliable[..., None], mv.astype(jnp.float32), med)
-    hole = (~reliable)[..., None]
-    smooth = _masked_jacobi(init, hole, iters=30)
-    mv = jnp.where(reliable[..., None], mv,
-                   jnp.round(smooth).astype(jnp.int32))
+    gmed = jnp.round(jnp.nan_to_num(
+        jnp.nanmedian(masked, axis=(1, 2), keepdims=True))).astype(jnp.int32)
+    g_field = jnp.broadcast_to(gmed, mv.shape)
+    # candidate L: 3x3-median-smoothed local field
+    l_field = jnp.round(median3_field(mv)).astype(jnp.int32)
+
+    sad_g = field_sad(luma[:-1], luma[1:], g_field, est_b,
+                      valid[:-1], valid[1:])
+    sad_l = field_sad(luma[:-1], luma[1:], l_field, est_b,
+                      valid[:-1], valid[1:])
+    # margin: local must be CLEARLY better (codec noise makes small SAD
+    # differences meaningless — margin-1.0 let spurious local wins erode
+    # the pan field, measured 17.0 vs 17.9 dB hole PSNR); unmatchable
+    # blocks (both penalized) default to global.
+    take_local = sad_l + 2.0 + 0.25 * sad_g < sad_g
+    mv = jnp.where(take_local[..., None], l_field, g_field)
+
+    # back to the fill grid
+    mv = jnp.repeat(jnp.repeat(mv, 2, axis=1), 2, axis=2)[:, :by, :bx]
     return jnp.concatenate([jnp.zeros((1, by, bx, 2), jnp.int32), mv], axis=0)
 
 
@@ -274,23 +305,126 @@ def _propagate_fill(
     best_src, best_dy, best_dx = state
     never_avail = best_src < 0
     src = jnp.where(never_avail, t_idx[:, None, None], best_src)
+    hole_blocks = removed & ~never_avail
 
-    # Warped gather at pixel resolution: per removed block, read the
-    # source frame at the displaced location (edge-clamped).
-    src_pix = upsample_map(src, block_size)  # (N,H,W)
-    dy_pix = upsample_map(best_dy, block_size)
-    dx_pix = upsample_map(best_dx, block_size)
+    # Context ring: each non-hole block adjacent to a hole inherits that
+    # hole's (src, disp) so the SAME warp can be evaluated on pixels that
+    # still exist — the per-hole confidence signal for the warp/diffusion
+    # blend below. Edge-padded shifts (no wraparound).
+    def _sh(x, dy_, dx_, fill):
+        p = jnp.pad(x, ((0, 0), (1, 1), (1, 1)), constant_values=fill)
+        return p[:, 1 + dy_ : 1 + dy_ + by, 1 + dx_ : 1 + dx_ + bx]
+
+    ext_src, ext_dy, ext_dx = src, best_dy, best_dx
+    have = hole_blocks
+    for dy_ in (-1, 0, 1):
+        for dx_ in (-1, 0, 1):
+            if dy_ == 0 and dx_ == 0:
+                continue
+            takeq = ~have & _sh(hole_blocks, dy_, dx_, False) & ~removed
+            ext_src = jnp.where(takeq, _sh(src, dy_, dx_, 0), ext_src)
+            ext_dy = jnp.where(takeq, _sh(best_dy, dy_, dx_, 0), ext_dy)
+            ext_dx = jnp.where(takeq, _sh(best_dx, dy_, dx_, 0), ext_dx)
+            have = have | takeq
+    ring = have & ~hole_blocks
+
+    # Warped gather at pixel resolution: per removed block (and its
+    # context ring), read the source frame at the displaced location
+    # (edge-clamped).
+    src_pix = upsample_map(ext_src, block_size)  # (N,H,W)
+    dy_pix = upsample_map(ext_dy, block_size)
+    dx_pix = upsample_map(ext_dx, block_size)
     yy = jnp.arange(h)[None, :, None]
     xx = jnp.arange(w)[None, None, :]
     sy = jnp.clip(yy - dy_pix, 0, h - 1)
     sx = jnp.clip(xx - dx_pix, 0, w - 1)
-    filled = frames[src_pix, sy, sx, :]
-    hole_blocks = removed & ~never_avail
-    hole_pix = upsample_map(hole_blocks, block_size)[..., None]
-    out = jnp.where(hole_pix, filled, frames)
+    ff = frames.astype(jnp.float32)
+    filled = ff[src_pix, sy, sx, :]
 
-    # Blocks with no clean warped source in the window: diffuse.
-    # (A no-op pass when the residual mask is empty.)
-    residual = removed & never_avail
-    res_pix = upsample_map(residual, block_size)[..., None]
-    return _masked_jacobi(out.astype(jnp.float32), res_pix, iters)
+    # Warp/diffusion BLEND (r5, the decisive lever on codec-degraded
+    # content — docs/diag_inpaint_inversion.json): the warp carries
+    # aligned texture + codec noise + residual misalignment; the PDE fill
+    # carries a smoothing residual proportional to local texture. Their
+    # errors are largely independent, so the convex blend beats BOTH
+    # (measured: warp 17.9 / PDE 16.6 / blend 18.2 dB hole PSNR at the
+    # long-run operating point). Per-hole weight is the decision-theoretic
+    # alpha = sigma_pde^2 / (sigma_pde^2 + sigma_warp^2) with
+    # sigma_warp ~ ring-context SAD of the SAME warp on surviving pixels
+    # and sigma_pde ~ 5x the local 4-neighbour texture deviation
+    # (calibrated against the measured per-region optima), clipped to
+    # [0.55, 1.0]: the floor keeps blended texture on trustworthy
+    # content; alpha reaches exactly 1 only when the ring context matches
+    # exactly (static content / clean pans), preserving the temporal
+    # restorer's bit-exact recovery there.
+    from elvis_tpu.core.blocks import blockwise_reduce
+    from elvis_tpu.ops.color import rgb_to_gray
+
+    valid = 1.0 - upsample_map(removed, block_size).astype(jnp.float32)
+    den_b = blockwise_reduce(valid, block_size, jnp.mean)
+    # The ring warp has NO cleanliness guarantee at the source (the
+    # consider() scan only certifies the HOLE blocks' source regions):
+    # a ring block's displaced read often lands on the very hole it
+    # borders, and black source pixels would poison the SAD. Gather
+    # source-frame validity through the same warp and weight by it;
+    # rings with <1/4 doubly-valid pixels carry no signal (NaN → the
+    # 3x3 pool ignores them).
+    src_valid = valid[src_pix, sy, sx]
+    wgt = valid * src_valid
+    den_w = blockwise_reduce(wgt, block_size, jnp.mean)
+    num_b = blockwise_reduce(
+        jnp.abs(filled - ff).mean(-1) * wgt, block_size, jnp.mean)
+    ring_sad = jnp.where(ring & (den_w > 0.25),
+                         num_b / jnp.maximum(den_w, 1e-6), jnp.nan)
+
+    lm = rgb_to_gray(ff)
+    up = jnp.roll(lm, 1, 1).at[:, 0].set(lm[:, 0])
+    dn = jnp.roll(lm, -1, 1).at[:, -1].set(lm[:, -1])
+    lf_ = jnp.roll(lm, 1, 2).at[:, :, 0].set(lm[:, :, 0])
+    rt = jnp.roll(lm, -1, 2).at[:, :, -1].set(lm[:, :, -1])
+    tex_pix = jnp.abs(lm - (up + dn + lf_ + rt) * 0.25) * valid
+    tex_b = jnp.where(
+        ~removed,
+        blockwise_reduce(tex_pix, block_size, jnp.mean)
+        / jnp.maximum(den_b, 1e-6),
+        jnp.nan,
+    )
+
+    def _pool9(x):
+        stk = jnp.stack(
+            [_sh(x, dy_, dx_, jnp.nan) for dy_ in (-1, 0, 1)
+             for dx_ in (-1, 0, 1)], axis=0)
+        return jnp.nanmean(stk, axis=0)
+
+    ctx = _pool9(ring_sad)   # warp-error scale per hole block
+    tau = _pool9(tex_b)      # diffusion-error scale per hole block
+    # Holes whose ring carries no signal (every neighbour is itself a
+    # hole, or every ring warp lands on source holes) fall back to the
+    # frame-level median ring SAD — the typical warp error of THIS pair
+    # of frames — rather than to the alpha floor: on a static clip the
+    # median is exactly 0, preserving bit-exact recovery everywhere.
+    f_ctx = jnp.nanmedian(ring_sad, axis=(1, 2), keepdims=True)
+    f_ctx = jnp.nan_to_num(
+        jnp.where(jnp.isnan(f_ctx), jnp.nanmedian(ring_sad), f_ctx), nan=0.0)
+    ctx = jnp.where(jnp.isnan(ctx), f_ctx, ctx)
+    f_tau = jnp.nanmedian(tex_b, axis=(1, 2), keepdims=True)
+    f_tau = jnp.nan_to_num(
+        jnp.where(jnp.isnan(f_tau), jnp.nanmedian(tex_b), f_tau), nan=0.0)
+    tau = jnp.where(jnp.isnan(tau), f_tau, tau)
+    sp2 = (5.0 * tau) ** 2
+    alpha = jnp.clip(
+        jnp.nan_to_num(sp2 / jnp.maximum(sp2 + ctx**2, 1e-6), nan=0.0),
+        0.55, 1.0,
+    )
+    # ctx == 0 is an exact ring match (static content / clean pan):
+    # trust the warp outright, even on flat blocks where tau == 0 too.
+    alpha = jnp.where(ctx <= 0.0, 1.0, alpha)
+    alpha = jnp.where(hole_blocks, alpha, 0.0)
+    a_pix = upsample_map(alpha, block_size)[..., None]
+
+    all_hole_pix = upsample_map(removed, block_size)[..., None]
+    pdefill = _masked_jacobi(ff, all_hole_pix, iters)
+    return jnp.where(
+        all_hole_pix.astype(bool),
+        a_pix * filled + (1.0 - a_pix) * pdefill,
+        ff,
+    )

@@ -66,11 +66,6 @@ def build_clip():
     slack_y, slack_x = canvas.shape[0] - height, canvas.shape[1] - width
     rng = np.random.default_rng(0)
     yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
-    obj_tex = np.stack([
-        205 + 28 * np.sin(2 * np.pi * (xx + yy) / 23),
-        90 + 20 * np.cos(2 * np.pi * xx / 17),
-        70 + 15 * np.sin(2 * np.pi * yy / 19),
-    ], axis=-1)
 
     out = np.empty((FRAMES, CROP_H, CROP_W, 3), np.uint8)
     fg = np.zeros((FRAMES, CROP_H, CROP_W), bool)
@@ -84,7 +79,18 @@ def build_clip():
         cy = height // 2 + int(0.22 * height * np.sin(2 * ph))
         cx = int(width * (0.2 + 0.6 * t / max(TOTAL - 1, 1)))
         r = 110
-        mask = (yy - cy) ** 2 + (xx - cx) ** 2 < r * r
+        # Object-carried, slowly rotating texture (matches
+        # scripts/long_run_1080p.py build_clip — see the comment there).
+        ang = 0.0125 * t
+        ca, sa = np.cos(ang), np.sin(ang)
+        xo, yo = xx - cx, yy - cy
+        xr, yr = ca * xo - sa * yo, sa * xo + ca * yo
+        obj_tex = np.stack([
+            205 + 28 * np.sin(2 * np.pi * (xr + yr) / 23),
+            90 + 20 * np.cos(2 * np.pi * xr / 17),
+            70 + 15 * np.sin(2 * np.pi * yr / 19),
+        ], axis=-1)
+        mask = xo ** 2 + yo ** 2 < r * r
         frame = np.where(mask[..., None], obj_tex, frame)
         frame += rng.normal(0, 1.5, frame.shape).astype(np.float32)
         full = np.clip(frame, 0, 255).astype(np.uint8)
