@@ -138,18 +138,37 @@ def load_strength_maps_video(path: str) -> np.ndarray:
     return decode_strength_maps_video(blob[4 + struct.calcsize("<ff"):], lo, hi)
 
 
-def save_removal_masks_npz(masks: np.ndarray, path: str) -> int:
-    """ELVIS v1 removal masks: packbits like elvis.py:4412-4418."""
+def save_removal_masks_npz(masks: np.ndarray, path: str,
+                           motion_gmv: "np.ndarray | None" = None,
+                           motion_dev: "np.ndarray | None" = None) -> int:
+    """ELVIS v1 removal masks: packbits like elvis.py:4412-4418.
+
+    ``motion_gmv``/``motion_dev`` (ops.motion.motion_hint) ride the same
+    sidecar: per-pair global int16 vectors (~4 B/frame) + the coarse int8
+    deviation field (all-zero on pure pans — zlib reduces it to noise
+    floor). The sidecar's on-disk size is what bitrate accounting counts,
+    so the hint's cost is charged to the ELVIS rows automatically."""
     masks = np.asarray(masks).astype(bool)
     packed = np.packbits(masks, axis=None)
-    np.savez_compressed(path, masks=packed, shape=np.asarray(masks.shape))
+    extra = {}
+    if motion_gmv is not None:
+        extra["motion_gmv"] = np.asarray(motion_gmv, np.int16)
+    if motion_dev is not None:
+        extra["motion_dev"] = np.asarray(motion_dev, np.int8)
+    np.savez_compressed(path, masks=packed, shape=np.asarray(masks.shape),
+                        **extra)
     import os
 
     return os.path.getsize(path)
 
 
-def load_removal_masks_npz(path: str) -> np.ndarray:
+def load_removal_masks_npz(path: str, with_motion: bool = False):
     data = np.load(path)
     shape = tuple(int(s) for s in data["shape"])
     total = int(np.prod(shape))
-    return np.unpackbits(data["masks"], count=total).reshape(shape).astype(bool)
+    masks = np.unpackbits(data["masks"], count=total).reshape(shape).astype(bool)
+    if not with_motion:
+        return masks
+    gmv = data["motion_gmv"] if "motion_gmv" in data else None
+    dev = data["motion_dev"] if "motion_dev" in data else None
+    return masks, gmv, dev

@@ -220,18 +220,24 @@ def analyze_encoding_performance(
     vmaf_stride: int = 1,
     analysis_sample_frames: Optional[int] = None,
     verbose: bool = False,
+    consume: bool = False,
 ) -> Dict:
     """All approaches -> {label: result dict} (the analysis_results.json
     body, elvis.py:3599 fan-out). ``analysis_sample_frames`` caps the
     number of frames entering the analysis (the search drivers' knob,
     SURVEY.md §2.9 bug #4). ``verbose`` prints one line per finished
     approach — evaluation is the longest unlogged span at scale (a
-    128f/1080p clip spends tens of minutes here with FVMD on)."""
+    128f/1080p clip spends tens of minutes here with FVMD on).
+    ``consume=True`` pops each decoded clip out of ``decoded_videos`` as
+    it finishes (VERDICT r4 #7: by stage 13 the pipeline holds EVERY
+    approach's full decoded clip at once — the single biggest host-RSS
+    plateau at 128f/1080p; evaluation is each clip's last use)."""
     if analysis_sample_frames:
         reference_frames = reference_frames[:analysis_sample_frames]
     out: Dict[str, Dict] = {}
     ref_feat_cache: Dict = {}  # reference FVMD features, shared across approaches
-    for label, frames in decoded_videos.items():
+    for label in list(decoded_videos.keys()):
+        frames = decoded_videos.pop(label) if consume else decoded_videos[label]
         t0 = time.time()
         out[label] = evaluate_approach(
             reference_frames,

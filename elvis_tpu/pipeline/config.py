@@ -164,6 +164,16 @@ class ElvisConfig:
     # persistence, only 24% of holes recoverable — VERDICT r4 #1).
     # 0 restores the reference's pure top-k (elvis.py:1387-1455).
     shrink_removal_cooldown: int = 1
+    # Encoder-side motion hint for the client inpaint fill (r5): per-pair
+    # global vectors + coarse deviations from the PRISTINE frames, shipped
+    # in the removal-mask sidecar (~4 B/frame + zlib-killed zero field,
+    # charged to the ELVIS rows' bitrate). Decoder-side estimation cannot
+    # recover true motion at low bitrate — decoded content carries the
+    # CODEC's reduced apparent motion (measured 1.6-1.9 px/pair bias,
+    # scripts/probe_pair_motion*.py) — which is why every real codec
+    # transmits its motion. False = the reference's pure client-side
+    # path (ProPainter RAFT-on-decoded, elvis.py:1458), kept as ablation.
+    inpaint_motion_hint: bool = True
     # Backend lists drive the restoration approach rows (restore.backends):
     # the first entry fills the reference's label for that slot, extra
     # entries add extra comparison rows. Neural names auto-load shipped

@@ -467,7 +467,7 @@ def _carry_tiling(dst, src):
 
 
 def _apply_inpaint_backend(dp, name, fn, stretched, removal_mask, b,
-                           devices=None):
+                           devices=None, motion_field=None):
     """Stage-8 driver for one inpaint backend (elvis.py:4601-4661).
 
     'diffusion' is per-frame: plain frame sharding. Windowed temporal
@@ -483,18 +483,37 @@ def _apply_inpaint_backend(dp, name, fn, stretched, removal_mask, b,
     if name == "diffusion":
         return dp.apply(lambda f, m: fn(f, m, b), stretched, removal_mask,
                         devices=devices)
+    # The server-side motion hint rides as one more frame-axis array so
+    # the temporal halo/chunk machinery slices it consistently with the
+    # frames (a chunk's first per-pair entry is never consumed: the fill
+    # only ever differences cumulative sums at in-chunk indices).
     if hasattr(fn, "split"):
         seed_fn = fn.split
-        seeded = dp.apply_temporal(
-            _carry_tiling(lambda f, m: seed_fn(f, m, b), seed_fn),
-            (stretched, removal_mask),
-            overlap=getattr(seed_fn, "temporal_overlap", 16),
-            devices=devices,
-        )
+        if motion_field is not None:
+            seeded = dp.apply_temporal(
+                _carry_tiling(lambda f, m, mv: seed_fn(f, m, b, mv=mv), seed_fn),
+                (stretched, removal_mask, motion_field),
+                overlap=getattr(seed_fn, "temporal_overlap", 16),
+                devices=devices,
+            )
+        else:
+            seeded = dp.apply_temporal(
+                _carry_tiling(lambda f, m: seed_fn(f, m, b), seed_fn),
+                (stretched, removal_mask),
+                overlap=getattr(seed_fn, "temporal_overlap", 16),
+                devices=devices,
+            )
         return dp.apply_temporal(
             _carry_tiling(lambda f, m: seed_fn.post(f, m, b), seed_fn.post),
             (seeded, removal_mask),
             overlap=getattr(seed_fn.post, "temporal_overlap", 2),
+            devices=devices,
+        )
+    if motion_field is not None:
+        return dp.apply_temporal(
+            _carry_tiling(lambda f, m, mv: fn(f, m, b, mv=mv), fn),
+            (stretched, removal_mask, motion_field),
+            overlap=getattr(fn, "temporal_overlap", 16),
             devices=devices,
         )
     return dp.apply_temporal(
@@ -710,15 +729,36 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
             f = jrm(jnp.asarray(frames_np[s0:e0]), jnp.asarray(mask_all[s0:e0]))
             shrunk_l.append(pull(f))
         s = codec.encode(np.concatenate(shrunk_l), **enc_kw)
-        return {"stream": s, "decoded": codec.decode(s),
-                "removal_mask": mask_all}
+        out = {"stream": s, "decoded": codec.decode(s),
+               "removal_mask": mask_all}
+        if config.inpaint_motion_hint and n > 1:
+            # Encoder-side motion hint for the client inpaint fill
+            # (ops.motion.motion_hint): computed on the PRISTINE frames
+            # (decoded content carries the codec's reduced apparent
+            # motion), shipped in the mask sidecar, charged to the ELVIS
+            # rows' bitrate. Pairs are independent -> chunk with one
+            # overlap frame.
+            from elvis_tpu.ops.motion import motion_hint
+
+            jmh = jax.jit(lambda f: motion_hint(f, b))
+            g_l, d_l = [], []
+            for s0 in range(0, n - 1, chunk):
+                e0 = min(s0 + chunk + 1, n)
+                g_, d_ = jmh(jnp.asarray(frames_np[s0:e0]))
+                g_l.append(np.asarray(g_))
+                d_l.append(np.asarray(d_))
+            out["motion_gmv"] = np.concatenate(g_l)
+            out["motion_dev"] = np.concatenate(d_l)
+        return out
 
     r = cache.get_or_run("shrink_encode", _branch_key, _shrink)
     streams["shrunk"] = r["stream"]
     shrunk_decoded = r["decoded"]
     removal_mask = jnp.asarray(r["removal_mask"])
+    motion_gmv, motion_dev = r.get("motion_gmv"), r.get("motion_dev")
     masks_npz = os.path.join(experiment_dir, f"shrink_masks_{b}.npz")
-    save_removal_masks_npz(np.asarray(removal_mask), masks_npz)
+    save_removal_masks_npz(np.asarray(removal_mask), masks_npz,
+                           motion_gmv=motion_gmv, motion_dev=motion_dev)
     dt = time.time() - t0
     execution_times["ELVIS Shrinking"] = dt
     approach_times[APPROACHES.ELVIS] += dt
@@ -915,9 +955,23 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         "temporal": config.propainter_devices,
         "neural": config.e2fgvi_devices,
     }
+    # Expand the transmitted motion hint (decoded from the mask sidecar —
+    # the client reads it exactly like the masks) to the fill grid once;
+    # shared by every motion-consuming backend below.
+    inpaint_motion = None
+    if motion_gmv is not None and config.inpaint_motion_hint:
+        from elvis_tpu.ops.motion import motion_field_from_hint
+
+        by_, bx_ = int(removal_mask.shape[1]), int(removal_mask.shape[2])
+        inpaint_motion = np.asarray(jax.jit(
+            lambda g, d: motion_field_from_hint(g, d, by_, bx_)
+        )(jnp.asarray(motion_gmv), jnp.asarray(motion_dev)))
     for name in config.inpaint_backends:
         label, timer = _inpaint_labels.get(name, (f"ELVIS {name}", f"{name} Inpainting"))
         fn, prov = resolve_inpaint_backend(name, config)
+        mv_arg = inpaint_motion if name != "diffusion" else None
+        if mv_arg is not None:
+            prov = f"{prov}+motion_hint"
         backend_provenance[label] = prov
         row_branch[label] = "shrunk"
         t0 = time.time()
@@ -925,7 +979,7 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
             f"inpaint_{name}", prov,
             lambda: pull(_apply_inpaint_backend(
                 dp, name, fn, stretched, removal_mask, b,
-                devices=_inpaint_devices.get(name))),
+                devices=_inpaint_devices.get(name), motion_field=mv_arg)),
         )
         dt = time.time() - t0
         execution_times[timer] = dt
@@ -1040,6 +1094,7 @@ def _run_elvis_impl(config: ElvisConfig) -> Dict:
         vmaf_stride=config.vmaf_stride,
         analysis_sample_frames=config.analysis_sample_frames,
         verbose=config.verbose,
+        consume=True,  # each decoded clip's last use: free as evaluated
     )
     execution_times["Performance Evaluation"] = time.time() - t0
     for approach, total in approach_times.items():

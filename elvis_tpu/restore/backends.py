@@ -42,11 +42,11 @@ def _with_hole_dilation(fn, dilation_px: int):
         return fn
     from elvis_tpu.core.blocks import dilate_block_mask
 
-    def wrapped(f, m, b):
+    def wrapped(f, m, b, *a, **kw):
         r = int(dilation_px) // int(b)
         if r > 0:
             m = dilate_block_mask(m, r).astype(m.dtype if hasattr(m, "dtype") else bool)
-        return fn(f, m, b)
+        return fn(f, m, b, *a, **kw)
 
     return wrapped
 
@@ -59,7 +59,7 @@ def _with_resize_ratio(fn, ratio: float):
     if not (0 < float(ratio) < 1.0):
         return fn
 
-    def wrapped(f, m, b):
+    def wrapped(f, m, b, mv=None, **kw):
         from elvis_tpu.core.blocks import upsample_map
         from elvis_tpu.ops.resize import resize
 
@@ -70,7 +70,11 @@ def _with_resize_ratio(fn, ratio: float):
             jnp.asarray(f).astype(jnp.float32), (by * b_small, bx * b_small),
             method="area",
         )
-        out_small = fn(small, m, b_small)
+        if mv is not None:
+            # pixel-unit motion scales with the working resolution
+            mv = jnp.round(jnp.asarray(mv).astype(jnp.float32)
+                           * (b_small / int(b))).astype(jnp.int32)
+        out_small = fn(small, m, b_small, mv=mv, **kw)
         out = resize(jnp.asarray(out_small).astype(jnp.float32), (h, w),
                      method="linear")
         hole = upsample_map(jnp.asarray(m).astype(bool), int(b))[..., None]
@@ -490,8 +494,9 @@ def resolve_inpaint_backend(name: str, config) -> Tuple[BackendFn, str]:
         ov = int(config.propainter_chunk_overlap or 2 * w)
         refs = int(getattr(config, "propainter_ref_stride", 0) or 0)
 
-        def temporal(f, m, b):
-            return restore_removal_temporal(f, m, b, window=w, ref_stride=refs)
+        def temporal(f, m, b, mv=None):
+            return restore_removal_temporal(f, m, b, window=w, ref_stride=refs,
+                                            motion_field=mv)
 
         temporal = _with_hole_dilation(
             temporal, int(getattr(config, "propainter_mask_dilation", 0) or 0)
@@ -524,9 +529,10 @@ def resolve_inpaint_backend(name: str, config) -> Tuple[BackendFn, str]:
 
         path = default_params_path("inpaint", config.inpaint_params_path, auto)
         if not path:
-            def fallback(f, m, b):
+            def fallback(f, m, b, mv=None):
                 seeded = restore_removal_temporal(
-                    f, m, b, window=w, ref_stride=refs, max_refs=nref
+                    f, m, b, window=w, ref_stride=refs, max_refs=nref,
+                    motion_field=mv,
                 )
                 return restore_removal_diffusion(jnp.asarray(seeded), m, b, iters=40)
 
@@ -540,10 +546,10 @@ def resolve_inpaint_backend(name: str, config) -> Tuple[BackendFn, str]:
             net, path, jnp.zeros((2, 16, 16, 3)), jnp.zeros((2, 2, 2), jnp.int8), 8
         )
 
-        def neural(f, m, b):
+        def neural(f, m, b, mv=None):
             seeded = jnp.asarray(
                 restore_removal_temporal(f, m, b, window=w, ref_stride=refs,
-                                         max_refs=nref)
+                                         max_refs=nref, motion_field=mv)
             ).astype(jnp.float32)
             return net.apply(params, seeded, m, b)
 
@@ -560,10 +566,10 @@ def resolve_inpaint_backend(name: str, config) -> Tuple[BackendFn, str]:
         # shifts only affect the outermost `temporal_window` frames of a
         # window, which the overlap trims (global clip edges clamp
         # identically in both paths).
-        def seed(f, m, b):
+        def seed(f, m, b, mv=None):
             return jnp.asarray(
                 restore_removal_temporal(f, m, b, window=w, ref_stride=refs,
-                                         max_refs=nref)
+                                         max_refs=nref, motion_field=mv)
             ).astype(jnp.float32)
 
         def post(f, m, b):

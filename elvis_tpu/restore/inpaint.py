@@ -87,6 +87,8 @@ def restore_removal_temporal(
     ref_stride: int = 0,
     max_refs: int = -1,
     motion_levels: int = 3,
+    motion_field: jnp.ndarray | None = None,
+    blend_floor: float | None = None,
 ) -> jnp.ndarray:
     """Fill each removed block from the temporally nearest frame (within
     +-``window``) where its CONTENT survives — warped along accumulated
@@ -121,18 +123,32 @@ def restore_removal_temporal(
     removed = removal_mask.astype(bool)  # (N,By,Bx)
     by, bx = removed.shape[1], removed.shape[2]
 
-    if motion_radius > 0 and n > 1:
+    if motion_field is not None and motion_radius > 0 and n > 1:
+        # Server-side motion hint (ops.motion.motion_hint): the encoder's
+        # pristine-frame motion, shipped in the mask sidecar. Decoder-side
+        # estimation on low-bitrate content measures the CODEC's reduced
+        # apparent motion, not the scene's (see motion_hint docstring);
+        # the hint removes that structural bias. Estimation below remains
+        # the hint-free fallback and the ablation path.
+        mv = jnp.asarray(motion_field).astype(jnp.float32)
+        fl = 0.55 if blend_floor is None else float(blend_floor)
+        out = _propagate_fill(frames, removed, jnp.cumsum(mv, axis=0),
+                              block_size, window, iters, ref_stride, max_refs,
+                              blend_floor=fl)
+    elif motion_radius > 0 and n > 1:
         mv = _estimate_hole_motion(frames, removed, block_size,
                                    motion_radius, motion_levels)
         # Co-located accumulation: exact for global pans, approximate for
         # locally smooth object motion.
         cum = jnp.cumsum(mv, axis=0)  # (N,By,Bx,2) pixels
+        fl = 0.55 if blend_floor is None else float(blend_floor)
         out = _propagate_fill(frames, removed, cum, block_size, window, iters,
-                              ref_stride, max_refs)
+                              ref_stride, max_refs, blend_floor=fl)
     else:
         zero_cum = jnp.zeros((n, by, bx, 2), jnp.int32)
+        fl = 0.55 if blend_floor is None else float(blend_floor)
         out = _propagate_fill(frames, removed, zero_cum, block_size, window,
-                              iters, ref_stride, max_refs)
+                              iters, ref_stride, max_refs, blend_floor=fl)
     if jnp.issubdtype(frames.dtype, jnp.integer):
         out = jnp.clip(jnp.round(out), 0, 255)
     return out.astype(frames.dtype)
@@ -240,6 +256,7 @@ def _propagate_fill(
     iters: int,
     ref_stride: int = 0,
     max_refs: int = -1,
+    blend_floor: float = 0.55,
 ) -> jnp.ndarray:
     """One propagation pass: nearest clean (warped) temporal source per
     removed block, pixel gather along the displacement, PDE fallback.
@@ -252,9 +269,10 @@ def _propagate_fill(
     grid_by = jnp.arange(by)[:, None]
     grid_bx = jnp.arange(bx)[None, :]
 
+    cum = cum.astype(jnp.float32)  # quarter-pel hints carry fractions
     best_src = jnp.full(removed.shape, -1, dtype=jnp.int32)
-    best_dy = jnp.zeros(removed.shape, jnp.int32)
-    best_dx = jnp.zeros(removed.shape, jnp.int32)
+    best_dy = jnp.zeros(removed.shape, jnp.float32)
+    best_dx = jnp.zeros(removed.shape, jnp.float32)
     bs = block_size
 
     def consider(state, s_idx):
@@ -262,16 +280,23 @@ def _propagate_fill(
         the first-clean-wins (best_src, best_dy, best_dx) state."""
         best_src, best_dy, best_dx = state
         # content at (t, p) sits at (s, p - (cum[t] - cum[s]))
-        disp = cum - cum[s_idx]  # (N,By,Bx,2) pixels
-        # The warped read region [p*bs - disp, +bs) straddles up to 4
-        # source blocks when disp is not block-aligned; ALL of them
-        # must be clean and in-frame, else a partial read would pull
-        # removed (black) pixels into the fill.
+        disp = cum - cum[s_idx]  # (N,By,Bx,2) pixels (float)
+        # The warped read region straddles up to 4 source blocks when
+        # disp is not block-aligned — and one extra pixel per fractional
+        # axis (the bilinear tap). ALL touched blocks must be clean and
+        # in-frame, else a partial read would pull removed (black)
+        # pixels into the fill. Integer displacements keep the exact
+        # bs-wide footprint (no spurious extra-block requirement).
         y0 = grid_by * bs - disp[..., 0]
         x0 = grid_bx * bs - disp[..., 1]
-        qy_lo, qy_hi = y0 // bs, (y0 + bs - 1) // bs
-        qx_lo, qx_hi = x0 // bs, (x0 + bs - 1) // bs
-        inb = (y0 >= 0) & (y0 + bs <= h) & (x0 >= 0) & (x0 + bs <= w)
+        iy0 = jnp.floor(y0).astype(jnp.int32)
+        ix0 = jnp.floor(x0).astype(jnp.int32)
+        span_y = bs - 1 + (y0 > iy0).astype(jnp.int32)  # +1 px when frac
+        span_x = bs - 1 + (x0 > ix0).astype(jnp.int32)
+        qy_lo, qy_hi = iy0 // bs, (iy0 + span_y) // bs
+        qx_lo, qx_hi = ix0 // bs, (ix0 + span_x) // bs
+        inb = ((iy0 >= 0) & (iy0 + span_y <= h - 1)
+               & (ix0 >= 0) & (ix0 + span_x <= w - 1))
 
         def _ok(qy, qx):
             qyc = jnp.clip(qy, 0, by - 1)
@@ -330,16 +355,36 @@ def _propagate_fill(
 
     # Warped gather at pixel resolution: per removed block (and its
     # context ring), read the source frame at the displaced location
-    # (edge-clamped).
+    # (edge-clamped), BILINEARLY for fractional displacements — integer
+    # displacements reduce to the exact single-tap gather (frac == 0
+    # makes every lerp a no-op), preserving bit-exact static recovery.
     src_pix = upsample_map(ext_src, block_size)  # (N,H,W)
     dy_pix = upsample_map(ext_dy, block_size)
     dx_pix = upsample_map(ext_dx, block_size)
     yy = jnp.arange(h)[None, :, None]
     xx = jnp.arange(w)[None, None, :]
-    sy = jnp.clip(yy - dy_pix, 0, h - 1)
-    sx = jnp.clip(xx - dx_pix, 0, w - 1)
+    sy_f = yy - dy_pix
+    sx_f = xx - dx_pix
+    iy = jnp.floor(sy_f)
+    ix = jnp.floor(sx_f)
+    fy = (sy_f - iy)[..., None]
+    fx = (sx_f - ix)[..., None]
+    sy = jnp.clip(iy.astype(jnp.int32), 0, h - 1)
+    sx = jnp.clip(ix.astype(jnp.int32), 0, w - 1)
+    sy1 = jnp.clip(sy + 1, 0, h - 1)
+    sx1 = jnp.clip(sx + 1, 0, w - 1)
     ff = frames.astype(jnp.float32)
-    filled = ff[src_pix, sy, sx, :]
+
+    def _bilerp(img):
+        v00 = img[src_pix, sy, sx]
+        v01 = img[src_pix, sy, sx1]
+        v10 = img[src_pix, sy1, sx]
+        v11 = img[src_pix, sy1, sx1]
+        top = v00 + fx * (v01 - v00)
+        bot = v10 + fx * (v11 - v10)
+        return top + fy * (bot - top)
+
+    filled = _bilerp(ff)
 
     # Warp/diffusion BLEND (r5, the decisive lever on codec-degraded
     # content — docs/diag_inpaint_inversion.json): the warp carries
@@ -368,7 +413,7 @@ def _propagate_fill(
     # source-frame validity through the same warp and weight by it;
     # rings with <1/4 doubly-valid pixels carry no signal (NaN → the
     # 3x3 pool ignores them).
-    src_valid = valid[src_pix, sy, sx]
+    src_valid = _bilerp(valid[..., None])[..., 0]
     wgt = valid * src_valid
     den_w = blockwise_reduce(wgt, block_size, jnp.mean)
     num_b = blockwise_reduce(
@@ -376,16 +421,29 @@ def _propagate_fill(
     ring_sad = jnp.where(ring & (den_w > 0.25),
                          num_b / jnp.maximum(den_w, 1e-6), jnp.nan)
 
-    lm = rgb_to_gray(ff)
-    up = jnp.roll(lm, 1, 1).at[:, 0].set(lm[:, 0])
-    dn = jnp.roll(lm, -1, 1).at[:, -1].set(lm[:, -1])
-    lf_ = jnp.roll(lm, 1, 2).at[:, :, 0].set(lm[:, :, 0])
-    rt = jnp.roll(lm, -1, 2).at[:, :, -1].set(lm[:, :, -1])
-    tex_pix = jnp.abs(lm - (up + dn + lf_ + rt) * 0.25) * valid
+    # PDE-error scale, measured the same way as the warp's: diffuse the
+    # RING blocks together with the holes (one extra Jacobi pass over the
+    # union mask) and score the actual |pde - truth| on those known
+    # pixels. Both sigmas then live on the same mean-abs scale, so the
+    # alpha needs no hand-calibrated texture multiplier. The union probe
+    # deliberately OVERestimates PDE error (boundaries sit ~a block
+    # farther than a real hole's): that slack compensates the warp side's
+    # own overestimate — the ring SAD carries ~2x the codec noise of a
+    # vs-truth error. A boundary-exact checkerboard probe was measured
+    # WORSE for exactly this reason (r5 floor sweeps: union 18.92/18.95
+    # hole/bg vs checkerboard 17.8-18.4 at the long-run operating point).
+    all_hole_pix = upsample_map(removed, block_size)[..., None]
+    pdefill = _masked_jacobi(ff, all_hole_pix, iters)
+    ring_pix = upsample_map(ring, block_size)[..., None]
+    probe_hole = all_hole_pix.astype(bool) | ring_pix.astype(bool)
+    pde_probe = _masked_jacobi(ff, probe_hole, iters)
+    pde_err_pix = jnp.abs(pde_probe - ff).mean(-1) * ring_pix[..., 0]
+    den_r = blockwise_reduce(ring_pix[..., 0].astype(jnp.float32),
+                             block_size, jnp.mean)
     tex_b = jnp.where(
-        ~removed,
-        blockwise_reduce(tex_pix, block_size, jnp.mean)
-        / jnp.maximum(den_b, 1e-6),
+        ring,
+        blockwise_reduce(pde_err_pix, block_size, jnp.mean)
+        / jnp.maximum(den_r, 1e-6),
         jnp.nan,
     )
 
@@ -410,10 +468,10 @@ def _propagate_fill(
     f_tau = jnp.nan_to_num(
         jnp.where(jnp.isnan(f_tau), jnp.nanmedian(tex_b), f_tau), nan=0.0)
     tau = jnp.where(jnp.isnan(tau), f_tau, tau)
-    sp2 = (5.0 * tau) ** 2
+    sp2 = tau**2
     alpha = jnp.clip(
         jnp.nan_to_num(sp2 / jnp.maximum(sp2 + ctx**2, 1e-6), nan=0.0),
-        0.55, 1.0,
+        blend_floor, 1.0,
     )
     # ctx == 0 is an exact ring match (static content / clean pan):
     # trust the warp outright, even on flat blocks where tau == 0 too.
@@ -421,8 +479,6 @@ def _propagate_fill(
     alpha = jnp.where(hole_blocks, alpha, 0.0)
     a_pix = upsample_map(alpha, block_size)[..., None]
 
-    all_hole_pix = upsample_map(removed, block_size)[..., None]
-    pdefill = _masked_jacobi(ff, all_hole_pix, iters)
     return jnp.where(
         all_hole_pix.astype(bool),
         a_pix * filled + (1.0 - a_pix) * pdefill,

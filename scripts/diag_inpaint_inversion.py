@@ -226,6 +226,20 @@ def main():
         run("temporal PYRAMID masked (r5)",
             lambda f, m: restore_removal_temporal(f, m, b, window=8,
                                                   ref_stride=20))
+        # Encoder-side motion hint (the r5 pipeline default): pristine-
+        # frame motion shipped in the mask sidecar (ops.motion.motion_hint)
+        from elvis_tpu.ops.motion import motion_field_from_hint, motion_hint
+
+        by, bx = removal_np.shape[1], removal_np.shape[2]
+        gmv, dev = jax.jit(lambda f: motion_hint(f, b))(jnp.asarray(clip))
+        mv_field = jax.jit(
+            lambda g, d: motion_field_from_hint(g, d, by, bx))(gmv, dev)
+        results[f"{tag}_hint_bytes"] = int(
+            np.asarray(gmv).nbytes + np.asarray(dev).nbytes)
+        run("temporal HINTED (r5 default)",
+            lambda f, m: restore_removal_temporal(f, m, b, window=8,
+                                                  ref_stride=20,
+                                                  motion_field=mv_field))
         if cooldown == 1:
             run("temporal zero-motion",
                 lambda f, m: restore_removal_temporal(f, m, b, window=8,

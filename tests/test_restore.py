@@ -1,5 +1,7 @@
 """Restoration ops: oracles + quality properties (restore must beat degraded)."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -127,6 +129,35 @@ class TestProgressive:
         fn = get_restorer("downsample", "progressive_lanczos")
         assert callable(fn)
 
+    def test_fused_final_stage_matches_plain(self, tiny_video, rng):
+        """A .phase-carrying upsample_fn routes the last stage through the
+        phase-space fused path (4K lever, VERDICT r4 #3); output must
+        match the plain per-stage path."""
+        from elvis_tpu.models import SRNetCompact
+        from elvis_tpu.models.srnet import srnet_upsample_fn
+
+        b = 8
+        model = SRNetCompact(features=8, num_convs=1)
+        import jax
+
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+        params["params"]["tail"]["kernel"] = (
+            jax.random.normal(jax.random.PRNGKey(1),
+                              params["params"]["tail"]["kernel"].shape) * 0.05
+        )
+        up = srnet_upsample_fn(model, params)
+
+        def plain(f):  # same net, no .phase attribute
+            return model.apply(params, f.astype(jnp.float32))
+
+        frames = jnp.asarray(tiny_video.astype(np.float32))
+        scores = jnp.asarray(rng.random((5, 6, 8)).astype(np.float32))
+        degraded, levels = adaptive_downsample(frames, scores, b)
+        fused = progressive_restore(degraded, levels, b, upsample_fn=up)
+        ref = progressive_restore(degraded, levels, b, upsample_fn=plain)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                                   atol=0.1)
+
 
 class TestInpaint:
     def _setup(self, tiny_video, rng, amount=0.25):
@@ -236,6 +267,94 @@ class TestMotionCompensatedInpaint:
         mc = np.asarray(restore_removal_temporal(holed, m, 8, motion_radius=4))
         zm = np.asarray(restore_removal_temporal(holed, m, 8, motion_radius=0))
         np.testing.assert_array_equal(mc, zm)
+
+
+class TestMotionHint:
+    """Encoder-side motion hint (r5, VERDICT r4 #1): ops.motion.motion_hint
+    computed on the PRISTINE frames rides the mask sidecar; the client
+    fill consumes it as motion_field — decoder-side estimation cannot
+    recover true motion on low-bitrate content (the codec's inter
+    prediction anchors decoded content toward its reference)."""
+
+    def _int_pan_clip(self, rng, n=6, h=96, w=128, dy=2, dx=3):
+        from elvis_tpu.ops.filter import gaussian_blur
+
+        canvas = (rng.random((h + dy * n, w + dx * n, 3)) * 255).astype(np.float32)
+        canvas = np.asarray(gaussian_blur(jnp.asarray(canvas), 5, 1.5))
+        clip = np.stack([canvas[dy * t : dy * t + h, dx * t : dx * t + w]
+                         for t in range(n)])
+        return np.clip(clip, 0, 255).astype(np.uint8)
+
+    def test_hint_recovers_integer_pan_exactly(self, rng):
+        from elvis_tpu.core.blocks import upsample_map
+        from elvis_tpu.ops.motion import motion_field_from_hint, motion_hint
+
+        clip = self._int_pan_clip(rng)
+        n, h, w = clip.shape[:3]
+        gmv, dev = motion_hint(jnp.asarray(clip), 8)
+        # the crop window slides by (+dy,+dx) => content moves by (-dy,-dx);
+        # the hint transports QUARTER-PEL units
+        np.testing.assert_array_equal(
+            np.asarray(gmv), np.tile([[-8, -12]], (n - 1, 1)))
+        assert int((np.asarray(dev) != 0).sum()) == 0
+        mv = motion_field_from_hint(gmv, dev, h // 8, w // 8)
+        mask = np.zeros((n, h // 8, w // 8), np.int8)
+        mask[2, 4:6, 5:8] = 1
+        holes = np.asarray(upsample_map(jnp.asarray(mask), 8))[..., None].astype(bool)
+        holed = jnp.asarray(np.where(holes, 0, clip))
+        out = restore_removal_temporal(holed, jnp.asarray(mask), 8,
+                                       motion_field=mv)
+        np.testing.assert_array_equal(
+            np.asarray(out)[holes[..., 0]], clip[holes[..., 0]])
+
+    def test_hint_roundtrips_mask_sidecar(self, tmp_path, rng):
+        from elvis_tpu.codec.sidecar import (
+            load_removal_masks_npz, save_removal_masks_npz,
+        )
+
+        masks = rng.random((4, 6, 8)) < 0.3
+        gmv = rng.integers(-30, 30, (3, 2)).astype(np.int16)
+        dev = rng.integers(-5, 5, (3, 2, 2, 2)).astype(np.int8)
+        p = str(tmp_path / "m.npz")
+        size = save_removal_masks_npz(masks, p, motion_gmv=gmv, motion_dev=dev)
+        assert size == os.path.getsize(p)
+        m2, g2, d2 = load_removal_masks_npz(p, with_motion=True)
+        np.testing.assert_array_equal(m2, masks)
+        np.testing.assert_array_equal(g2, gmv)
+        np.testing.assert_array_equal(d2, dev)
+        # hint-free sidecars load as None (old streams stay decodable)
+        p2 = str(tmp_path / "m0.npz")
+        save_removal_masks_npz(masks, p2)
+        _, g0, d0 = load_removal_masks_npz(p2, with_motion=True)
+        assert g0 is None and d0 is None
+
+    def test_hinted_fill_through_chunked_driver(self, rng):
+        """The hint rides the temporal halo/chunk machinery as one more
+        frame-axis array: chunked == unchunked exactly (a chunk's first
+        per-pair entry is sliced in but never consumed)."""
+        from elvis_tpu.core.blocks import upsample_map
+        from elvis_tpu.ops.motion import motion_field_from_hint, motion_hint
+        from elvis_tpu.pipeline.config import ElvisConfig
+        from elvis_tpu.pipeline.run import _apply_inpaint_backend, _DataParallel
+        from elvis_tpu.restore.backends import resolve_inpaint_backend
+
+        clip = self._int_pan_clip(rng, n=10)
+        n, h, w = clip.shape[:3]
+        gmv, dev = motion_hint(jnp.asarray(clip), 8)
+        mv = np.asarray(motion_field_from_hint(gmv, dev, h // 8, w // 8))
+        mask = (rng.random((n, h // 8, w // 8)) < 0.2).astype(np.int8)
+        holes = np.asarray(upsample_map(jnp.asarray(mask), 8))[..., None].astype(bool)
+        holed = np.where(holes, 0, clip)
+
+        cfg = ElvisConfig(propainter_neighbor_length=2,
+                          propainter_parallel_chunk_length=4)
+        fn, prov = resolve_inpaint_backend("temporal", cfg)
+        dp = _DataParallel(False)
+        chunked = _apply_inpaint_backend(dp, "temporal", fn, holed, mask, 8,
+                                         motion_field=mv)
+        direct = fn(jnp.asarray(holed), jnp.asarray(mask), 8, mv=jnp.asarray(mv))
+        np.testing.assert_allclose(np.asarray(chunked), np.asarray(direct),
+                                   atol=1e-3)
 
 
 class TestTemporalWindowKnobs:
