@@ -19,15 +19,88 @@ RRDB-style residual-in-residual dense CNN redesigned TPU-first:
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from elvis_tpu.ops.resize import resize
+from elvis_tpu.ops.resize import (
+    interleave_phases,
+    resize,
+    upsample2x_phases,
+)
 
-__all__ = ["SRNet", "SRNetCompact", "srnet_upsample_fn"]
+__all__ = ["SRNet", "SRNetCompact", "srnet_upsample_fn", "srnet_phase_fn"]
+
+
+@functools.lru_cache(maxsize=2)
+def _phase_kernel_select() -> "np.ndarray":
+    """Constant selector ``S[ky,kx,pq,ab,dy,dx] in {0,1}`` scattering a
+    3x3 full-res kernel into its phase-domain (3,3,4Cin,4Co) form:
+    output pixel ``(2i+a+dy, 2j+b+dx)`` of a pixel-shuffled image lives at
+    low-res grid row ``i + (a+dy)//2`` phase ``(a+dy)%2`` (same for
+    columns), so each (ky,kx,phase-pair) slot holds exactly one original
+    tap — or none (the selector row is all zero)."""
+    import numpy as np
+
+    s = np.zeros((3, 3, 4, 4, 3, 3), np.float32)
+    for a in (0, 1):
+        for b in (0, 1):
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    ky, p = (a + dy) // 2, (a + dy) % 2
+                    kx, q = (b + dx) // 2, (b + dx) % 2
+                    s[ky + 1, kx + 1, 2 * p + q, 2 * a + b, dy + 1, dx + 1] = 1.0
+    return s
+
+
+class _TailConv(nn.Module):
+    """The 3x3 full-resolution residual head, with an exact PHASE-DOMAIN
+    application mode.
+
+    Parameter tree is identical to the ``nn.Conv(3, (3,3), name="tail")``
+    it replaces (``kernel`` HWIO ``(3,3,Cin,3)`` + ``bias (3,)``), so every
+    shipped checkpoint loads unchanged. ``__call__`` is the original
+    full-res conv; ``phase`` applies the SAME weights to the pre-shuffle
+    tensor ``(N,H,W,2,2,Cin)`` at input resolution: a 3x3 conv over the
+    pixel-shuffled image is algebraically a 3x3 conv over the 4Cin-channel
+    phase tensor with a scattered kernel, and SAME zero padding maps
+    one-to-one between the two forms. This keeps the SR final stage's
+    residual math at 1/4 the spatial size — the '~50% loop machinery' 4K
+    wall of VERDICT r4 #3 — and lets full resolution be materialized
+    exactly once downstream.
+    """
+
+    cin: int
+    features: int = 3
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.zeros,
+            (3, 3, self.cin, self.features), jnp.float32)
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32)
+
+    def __call__(self, x):
+        out = jax.lax.conv_general_dilated(
+            x.astype(jnp.float32), self.kernel, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out + self.bias
+
+    def phase(self, x):
+        """x ``(N,H,W,2,2,Cin)`` -> ``(N,H,W,2,2,features)``."""
+        cin, co = self.cin, self.features
+        n, hh, ww = x.shape[0], x.shape[1], x.shape[2]
+        xf = x.astype(jnp.float32).reshape(n, hh, ww, 4 * cin)
+        sel = jnp.asarray(_phase_kernel_select())
+        k4 = jnp.einsum("uvpayx,yxio->uvpiao", sel, self.kernel)
+        k4 = k4.reshape(3, 3, 4 * cin, 4 * co)
+        out = jax.lax.conv_general_dilated(
+            xf, k4, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out.reshape(n, hh, ww, 2, 2, co) + self.bias
 
 
 class DenseBlock(nn.Module):
@@ -77,13 +150,16 @@ class SRNet(nn.Module):
     growth: int = 128
     num_blocks: int = 3
     dtype: Any = jnp.bfloat16
+    # Return the pre-interleave (N,H,W,2,2,3) phase tensor instead of the
+    # (N,2H,2W,3) frame — bit-equal math at 1/4 the full-res traffic (the
+    # progressive loop injects + interleaves once; see _TailConv).
+    phase_output: bool = False
 
     @nn.compact
     def __call__(self, x):
         # Residual over a Lanczos-4 base: the zero-initialized tail makes a
         # fresh model EXACTLY the classical progressive-lanczos restorer,
         # so training can only improve on that baseline.
-        base = resize(x, (x.shape[-3] * 2, x.shape[-2] * 2), method="lanczos4")
         h = (x.astype(jnp.float32) / 127.5 - 1.0).astype(self.dtype)
         h = nn.Conv(self.features, (3, 3), dtype=self.dtype, name="head")(h)
         skip = h
@@ -94,12 +170,17 @@ class SRNet(nn.Module):
         # 2x pixel shuffle upsample
         h = nn.Conv(self.features * 4, (3, 3), dtype=self.dtype, name="up")(h)
         n, hh, ww, c = h.shape
+        tail = _TailConv(cin=c // 4, name="tail")
+        if self.phase_output:
+            ph = nn.leaky_relu(h.reshape(n, hh, ww, 2, 2, c // 4), 0.2)
+            res = tail.phase(ph.astype(jnp.float32))
+            base = upsample2x_phases(x.astype(jnp.float32), "lanczos4")
+            return jnp.clip(base + 127.5 * res, 0.0, 255.0)
+        base = resize(x, (x.shape[-3] * 2, x.shape[-2] * 2), method="lanczos4")
         h = h.reshape(n, hh, ww, 2, 2, c // 4)
         h = h.transpose(0, 1, 3, 2, 4, 5).reshape(n, hh * 2, ww * 2, c // 4)
         h = nn.leaky_relu(h, 0.2)
-        residual = nn.Conv(3, (3, 3), dtype=jnp.float32, kernel_init=nn.initializers.zeros, name="tail")(
-            h.astype(jnp.float32)
-        )
+        residual = tail(h.astype(jnp.float32))
         return jnp.clip(base.astype(jnp.float32) + 127.5 * residual, 0.0, 255.0)
 
 
@@ -120,10 +201,10 @@ class SRNetCompact(nn.Module):
     features: int = 128
     num_convs: int = 5
     dtype: Any = jnp.bfloat16
+    phase_output: bool = False  # see SRNet.phase_output
 
     @nn.compact
     def __call__(self, x):
-        base = resize(x, (x.shape[-3] * 2, x.shape[-2] * 2), method="lanczos4")
         h = (x.astype(jnp.float32) / 127.5 - 1.0).astype(self.dtype)
         h = nn.Conv(self.features, (3, 3), dtype=self.dtype, name="head")(h)
         h = nn.leaky_relu(h, 0.2)
@@ -132,12 +213,16 @@ class SRNetCompact(nn.Module):
             h = nn.leaky_relu(h, 0.2)
         h = nn.Conv(12, (3, 3), dtype=self.dtype, name="up")(h)  # 3ch x 2x2 shuffle
         n, hh, ww, c = h.shape
+        tail = _TailConv(cin=3, name="tail")
+        if self.phase_output:
+            res = tail.phase(h.reshape(n, hh, ww, 2, 2, 3).astype(jnp.float32))
+            base = upsample2x_phases(x.astype(jnp.float32), "lanczos4")
+            return jnp.clip(base + 127.5 * res, 0.0, 255.0)
+        base = resize(x, (x.shape[-3] * 2, x.shape[-2] * 2), method="lanczos4")
         h = h.reshape(n, hh, ww, 2, 2, 3).transpose(0, 1, 3, 2, 4, 5).reshape(
             n, hh * 2, ww * 2, 3
         )
-        residual = nn.Conv(
-            3, (3, 3), dtype=jnp.float32, kernel_init=nn.initializers.zeros, name="tail"
-        )(h.astype(jnp.float32))
+        residual = tail(h.astype(jnp.float32))
         return jnp.clip(base.astype(jnp.float32) + 127.5 * residual, 0.0, 255.0)
 
 
@@ -151,12 +236,33 @@ def SRNetLarge() -> SRNetCompact:
     return SRNetCompact(features=256, num_convs=8)
 
 
-def srnet_upsample_fn(model: SRNet, params):
-    """Adapter: (frames) -> 2x frames, for the progressive restore loop's
-    ``upsample_fn`` slot (elvis_tpu.restore.progressive)."""
+def srnet_phase_fn(model, params):
+    """(frames) -> (N,H,W,2,2,3) float32 phase tensor: the same model
+    applied in ``phase_output`` mode (same params, bit-equal math)."""
+    pm = model.clone(phase_output=True)
 
     @jax.jit
-    def up(frames):
-        return model.apply(params, frames.astype(jnp.float32))
+    def up_phase(frames):
+        return pm.apply(params, frames.astype(jnp.float32))
 
+    return up_phase
+
+
+def srnet_upsample_fn(model: SRNet, params):
+    """Adapter: (frames) -> 2x frames, for the progressive restore loop's
+    ``upsample_fn`` slot (elvis_tpu.restore.progressive).
+
+    The returned callable carries a ``.phase_fn`` attribute — the
+    pre-interleave variant the progressive loop uses to keep each stage's
+    residual math at input resolution and materialize the upscaled frame
+    exactly once per stage (VERDICT r4 #3: ~50% of the 4K wall was
+    full-res machinery inside every apply)."""
+    jit_up = jax.jit(
+        lambda frames: model.apply(params, frames.astype(jnp.float32))
+    )
+
+    def up(frames):
+        return jit_up(frames)
+
+    up.phase_fn = srnet_phase_fn(model, params)
     return up

@@ -159,6 +159,66 @@ def _upsample2x_axis(x: jnp.ndarray, axis: int, method: str) -> jnp.ndarray:
     return stacked.reshape(shape)
 
 
+def upsample2x_phases(x: jnp.ndarray, method: str = "lanczos4") -> jnp.ndarray:
+    """Exact 2x upscale in PHASE form: ``(..., H, W, C) -> (..., H, W, 2, 2, C)``
+    where ``out[..., i, j, a, b, c]`` is the interleaved result's pixel
+    ``(2i+a, 2j+b)``. Same taps/edge handling as the interleaved fast path
+    (``_upsample2x_axis``), minus the final 2x-resolution transpose.
+
+    This is the residual-at-input-resolution layout for the SR final
+    stage (VERDICT r4 #3): everything downstream of the upsample — tail
+    conv, residual add, clip, block re-injection — can run on the
+    low-res-spatial phase tensor and the full-res frame is materialized
+    exactly ONCE by ``interleave_phases``. Float32 in, float32 out.
+    """
+    *lead, h, w, c = x.shape
+    pw = _phase_weights_2x(method)
+    nd = x.ndim
+
+    def taps(xp, axis, i0, wts):
+        n = x.shape[axis]
+        acc = None
+        for k, wk in enumerate(wts):
+            s = jax.lax.slice_in_dim(xp, _UP2X_PAD + i0 + k,
+                                     _UP2X_PAD + i0 + k + n, axis=axis)
+            acc = s * wk if acc is None else acc + s * wk
+        return acc
+
+    pad_h = [(0, 0)] * nd
+    pad_h[nd - 3] = (_UP2X_PAD, _UP2X_PAD)
+    xp = jnp.pad(x, pad_h, mode="edge")
+    rows = [taps(xp, nd - 3, i0, wts) for i0, wts in pw]  # 2 x (..., H, W, C)
+
+    out_ab = []
+    for r in rows:
+        pad_w = [(0, 0)] * nd
+        pad_w[nd - 2] = (_UP2X_PAD, _UP2X_PAD)
+        rp = jnp.pad(r, pad_w, mode="edge")
+        out_ab.append(jnp.stack(
+            [taps(rp, nd - 2, i0, wts) for i0, wts in pw], axis=-2
+        ))  # (..., H, W, 2, C)
+    return jnp.stack(out_ab, axis=-3)  # (..., H, W, 2, 2, C)
+
+
+def interleave_phases(y: jnp.ndarray) -> jnp.ndarray:
+    """``(..., H, W, 2, 2, C) -> (..., 2H, 2W, C)`` — the single full-res
+    materialization of the phase-form pipeline."""
+    *lead, h, w, a, b, c = y.shape
+    perm = list(range(y.ndim - 5)) + [y.ndim - 5, y.ndim - 3, y.ndim - 4,
+                                      y.ndim - 2, y.ndim - 1]
+    return y.transpose(perm).reshape(*lead, 2 * h, 2 * w, c)
+
+
+def deinterleave_phases(x: jnp.ndarray) -> jnp.ndarray:
+    """``(..., 2H, 2W, C) -> (..., H, W, 2, 2, C)`` (inverse of
+    ``interleave_phases``)."""
+    *lead, h2, w2, c = x.shape
+    y = x.reshape(*lead, h2 // 2, 2, w2 // 2, 2, c)
+    perm = list(range(y.ndim - 5)) + [y.ndim - 5, y.ndim - 3, y.ndim - 4,
+                                      y.ndim - 2, y.ndim - 1]
+    return y.transpose(perm)
+
+
 def _area_downsample_int(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Exact integer-factor box filter: reshape + mean (the area matrix
     at an integer factor is exactly 1/f over f consecutive samples).

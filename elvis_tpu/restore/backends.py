@@ -146,6 +146,13 @@ def _srnet_upsampler(config, which: Optional[str] = None) -> Tuple[Optional[Call
                 with jax.default_matmul_precision("float32"):
                     return g(x)
 
+            pg = getattr(g, "phase_fn", None)
+            if pg is not None:
+                def fp32_phase(x):
+                    with jax.default_matmul_precision("float32"):
+                        return pg(x)
+
+                fp32.phase_fn = fp32_phase
             return fp32
 
         from elvis_tpu.restore.progressive import StagedUpsampler
@@ -201,8 +208,16 @@ def _srnet_upsampler(config, which: Optional[str] = None) -> Tuple[Optional[Call
             return None, ""
         names = " + ".join(p for _, fn, p in loaded if fn is not None)
         k = float(len(fns))
-        return (lambda f: sum(fn(f) for fn in fns) / k,
-                f"srnet_ensemble[{names}]")
+
+        def ens(f):
+            return sum(fn(f) for fn in fns) / k
+
+        phase_fns = [getattr(fn, "phase_fn", None) for fn in fns]
+        if all(p is not None for p in phase_fns):
+            # averaging commutes with the final interleave, so the
+            # ensemble composes in phase form too
+            ens.phase_fn = lambda f: sum(p(f) for p in phase_fns) / k
+        return ens, f"srnet_ensemble[{names}]"
 
     if which == "srnet_4k":
         fn, prov = load_4k()

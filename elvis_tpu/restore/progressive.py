@@ -26,7 +26,7 @@ from typing import Callable, NamedTuple
 import jax.numpy as jnp
 
 from elvis_tpu.core.blocks import upsample_map
-from elvis_tpu.ops.resize import resize
+from elvis_tpu.ops.resize import interleave_phases, resize
 from elvis_tpu.restore.registry import register_restorer
 
 __all__ = ["progressive_restore", "lanczos_upsample_2x", "StagedUpsampler"]
@@ -99,7 +99,17 @@ def progressive_restore(
     current_factor = max_factor // 2
     while current_factor >= 1:
         cur_h, cur_w = h // current_factor, w // current_factor
-        current = stage_fns[0](current)
+        fn = stage_fns[0]
+        phase_fn = getattr(fn, "phase_fn", None)
+        if phase_fn is not None:
+            # Phase-form stage (srnet.srnet_phase_fn): the net returns the
+            # pre-interleave (N,h,w,2,2,C) tensor — its Lanczos base and
+            # residual tail both computed at INPUT resolution — and the
+            # full-res frame is materialized exactly once here, fusing
+            # into the injection select below. Bit-equal to fn(current).
+            current = interleave_phases(phase_fn(current))
+        else:
+            current = fn(current)
         stage_fns = stage_fns[1:]
         assert current.shape[-3:] == (cur_h, cur_w, c), (
             f"upsample_fn produced {current.shape}, expected (*,{cur_h},{cur_w},{c})"

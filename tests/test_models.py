@@ -52,6 +52,32 @@ class TestSRNet:
         base = jnp.clip(resize(x, (32, 32), method="lanczos4"), 0, 255)
         np.testing.assert_allclose(np.asarray(y), np.asarray(base), atol=1e-3)
 
+    @pytest.mark.parametrize("make", [
+        lambda: SRNetCompact(features=8, num_convs=2),
+        lambda: SRNet(features=16, growth=8, num_blocks=1),
+    ])
+    def test_phase_output_matches_interleaved(self, make):
+        """phase_output mode (the residual-at-input-resolution 4K lever,
+        VERDICT r4 #3) is bit-near-equal to the standard forward — with a
+        RANDOM tail so the phase-domain tail conv is actually exercised."""
+        from elvis_tpu.models.srnet import srnet_phase_fn
+        from elvis_tpu.ops.resize import interleave_phases
+
+        model = make()
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+        kshape = params["params"]["tail"]["kernel"].shape
+        params["params"]["tail"]["kernel"] = (
+            jax.random.normal(jax.random.PRNGKey(1), kshape) * 0.05)
+        params["params"]["tail"]["bias"] = (
+            jax.random.normal(jax.random.PRNGKey(2), (3,)) * 0.1)
+        x = jnp.asarray(
+            np.random.default_rng(3).random((2, 24, 16, 3)) * 255, jnp.float32)
+        y_ref = model.apply(params, x)
+        ph = srnet_phase_fn(model, params)(x)
+        assert ph.shape == (2, 24, 16, 2, 2, 3)
+        np.testing.assert_allclose(
+            np.asarray(interleave_phases(ph)), np.asarray(y_ref), atol=0.05)
+
     def test_upsample_fn_plugs_into_progressive(self, tiny_video):
         from elvis_tpu.degrade import adaptive_downsample
         from elvis_tpu.restore import progressive_restore
