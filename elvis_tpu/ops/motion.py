@@ -210,6 +210,8 @@ def motion_hint(
     levels: int = 4,
     coarse: int = 1,
     deadzone_px: float = 0.75,
+    refine_radius: int = 2,
+    est_scale: int = 2,
 ) -> tuple:
     """SERVER-side motion hint for the client inpaint fill (round 5).
 
@@ -240,7 +242,12 @@ def motion_hint(
     """
     from elvis_tpu.ops.color import rgb_to_gray
 
-    est_b = 2 * block_size
+    # est_scale: estimation blocks of est_scale*block_size px. 2 is the
+    # default (enough content signal on decoded frames, r5 sweeps);
+    # periodic object texture can phase-alias a 16 px matcher (every
+    # texture-period shift is a SAD minimum) — larger blocks span more
+    # periods and disambiguate.
+    est_b = int(est_scale) * block_size
     if frames.ndim == 4:
         luma = rgb_to_gray(frames.astype(jnp.float32))
     else:
@@ -251,7 +258,8 @@ def motion_hint(
     if (hp, wp) != (h, w):
         luma = jnp.pad(luma, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
     mv, sad = block_motion_pyramid(
-        luma[:-1], luma[1:], est_b, radius, levels=levels, return_sad=True)
+        luma[:-1], luma[1:], est_b, radius, levels=levels,
+        refine_radius=refine_radius, return_sad=True)
     med_sad = jnp.median(sad, axis=(1, 2), keepdims=True)
     reliable = sad <= 3.0 * med_sad + 2.0
     l_int = jnp.round(median3_field(mv)).astype(jnp.int32)
@@ -288,6 +296,7 @@ def motion_field_from_hint(
     by: int,
     bx: int,
     coarse: int = 1,
+    est_scale: int = 2,
 ) -> jnp.ndarray:
     """CLIENT side: expand a ``motion_hint`` to the fill grid — per-pair
     block motion ``(N, By, Bx, 2)`` float32 PIXELS (frame 0 zeros; the
@@ -297,7 +306,8 @@ def motion_field_from_hint(
          + gmv[:, None, None, :].astype(jnp.float32)) / 4.0  # (m,Cy,Cx,2) px
     if coarse > 1:
         f = jnp.repeat(jnp.repeat(f, coarse, axis=1), coarse, axis=2)
-    f = jnp.repeat(jnp.repeat(f, 2, axis=1), 2, axis=2)[:, :by, :bx]
+    s = int(est_scale)
+    f = jnp.repeat(jnp.repeat(f, s, axis=1), s, axis=2)[:, :by, :bx]
     return jnp.concatenate(
         [jnp.zeros((1, by, bx, 2), jnp.float32), f], axis=0)
 

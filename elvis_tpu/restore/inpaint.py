@@ -123,6 +123,7 @@ def restore_removal_temporal(
     removed = removal_mask.astype(bool)  # (N,By,Bx)
     by, bx = removed.shape[1], removed.shape[2]
 
+    fl = 0.25 if blend_floor is None else float(blend_floor)
     if motion_field is not None and motion_radius > 0 and n > 1:
         # Server-side motion hint (ops.motion.motion_hint): the encoder's
         # pristine-frame motion, shipped in the mask sidecar. Decoder-side
@@ -131,23 +132,17 @@ def restore_removal_temporal(
         # the hint removes that structural bias. Estimation below remains
         # the hint-free fallback and the ablation path.
         mv = jnp.asarray(motion_field).astype(jnp.float32)
-        fl = 0.55 if blend_floor is None else float(blend_floor)
-        out = _propagate_fill(frames, removed, jnp.cumsum(mv, axis=0),
-                              block_size, window, iters, ref_stride, max_refs,
-                              blend_floor=fl)
+        out = _propagate_fill(frames, removed, mv, block_size, window, iters,
+                              ref_stride, max_refs, blend_floor=fl)
     elif motion_radius > 0 and n > 1:
         mv = _estimate_hole_motion(frames, removed, block_size,
                                    motion_radius, motion_levels)
-        # Co-located accumulation: exact for global pans, approximate for
-        # locally smooth object motion.
-        cum = jnp.cumsum(mv, axis=0)  # (N,By,Bx,2) pixels
-        fl = 0.55 if blend_floor is None else float(blend_floor)
-        out = _propagate_fill(frames, removed, cum, block_size, window, iters,
-                              ref_stride, max_refs, blend_floor=fl)
+        out = _propagate_fill(frames, removed, mv.astype(jnp.float32),
+                              block_size, window, iters, ref_stride, max_refs,
+                              blend_floor=fl)
     else:
-        zero_cum = jnp.zeros((n, by, bx, 2), jnp.int32)
-        fl = 0.55 if blend_floor is None else float(blend_floor)
-        out = _propagate_fill(frames, removed, zero_cum, block_size, window,
+        zero_mv = jnp.zeros((n, by, bx, 2), jnp.float32)
+        out = _propagate_fill(frames, removed, zero_mv, block_size, window,
                               iters, ref_stride, max_refs, blend_floor=fl)
     if jnp.issubdtype(frames.dtype, jnp.integer):
         out = jnp.clip(jnp.round(out), 0, 255)
@@ -247,40 +242,145 @@ def _estimate_hole_motion(
     return jnp.concatenate([jnp.zeros((1, by, bx, 2), jnp.int32), mv], axis=0)
 
 
+def _compose_displacements(mv: jnp.ndarray, window: int, block_size: int):
+    """Trajectory-composed displacement chains from per-pair block motion.
+
+    ``mv[t]`` is the motion INTO frame t: content at ``(t, p)`` came from
+    ``(t-1, p - mv[t](p))``, pixels. Returns ``(back, fwd)`` where
+    ``back[d-1][t](p)`` is the displacement to source frame ``t-d``
+    (content at ``(t,p)`` sits at ``(t-d, p - back)``) and
+    ``fwd[d-1][t](p)`` the displacement to ``t+d``, both ``(N,By,Bx,2)``.
+
+    The r4/r5 co-located ``cumsum`` accumulation summed vectors at a FIXED
+    grid cell across time — exact for global pans but structurally wrong
+    for independently-moving objects (at t-2 the cell held background, so
+    the chain mixed pan into the object's trajectory; measured: the TRUE
+    per-pair field warped fg holes to 14.9 dB, BELOW zero-motion, on the
+    rotating-disc diag content). Composition instead follows the content:
+    each step samples the next pair's field AT THE MOVED POSITION
+    (bilinear on the block grid, edge-clamped) — the flow-composition move
+    of ProPainter's propagation (reference elvis.py:1458), done on block
+    fields. Forward steps use the first-order inverse ``-mv[t+1]``.
+    """
+    n, by, bx = mv.shape[0], mv.shape[1], mv.shape[2]
+    bs = float(block_size)
+    yy = jnp.arange(by)[None, :, None]
+    xx = jnp.arange(bx)[None, None, :]
+
+    def sample(field, off_px):
+        """field/off_px (N,By,Bx,2): field sampled at (p - off_px/bs)."""
+        sy = yy - off_px[..., 0] / bs
+        sx = xx - off_px[..., 1] / bs
+        iy = jnp.floor(sy)
+        ix = jnp.floor(sx)
+        fy = (sy - iy)[..., None]
+        fx = (sx - ix)[..., None]
+        y0 = jnp.clip(iy.astype(jnp.int32), 0, by - 1)
+        x0 = jnp.clip(ix.astype(jnp.int32), 0, bx - 1)
+        y1 = jnp.clip(y0 + 1, 0, by - 1)
+        x1 = jnp.clip(x0 + 1, 0, bx - 1)
+        ni = jnp.arange(field.shape[0])[:, None, None]
+        v00 = field[ni, y0, x0]
+        v01 = field[ni, y0, x1]
+        v10 = field[ni, y1, x0]
+        v11 = field[ni, y1, x1]
+        top = v00 + fx * (v01 - v00)
+        bot = v10 + fx * (v11 - v10)
+        return top + fy * (bot - top)
+
+    def shift_back(x):  # x[t] <- x[t-1] (t=0 row unused, masked by validity)
+        return jnp.concatenate([x[:1], x[:-1]], axis=0)
+
+    def shift_fwd(x):  # x[t] <- x[t+1]
+        return jnp.concatenate([x[1:], x[-1:]], axis=0)
+
+    def invert(mvn):
+        """Forward field: ``mvn[t]`` maps (t,p) <- (t-1, p - mvn): scatter
+        each correspondence's motion to its SOURCE block, so the t-1 grid
+        learns where its content goes. A first-order inverse (-mvn at p)
+        is exact for smooth fields but reads zero at blocks an object has
+        not reached yet; the scatter handles discontinuous object fields.
+        Blocks nothing maps back to (disocclusions) fall back to the
+        frame-global median (the pan component). When an object's source
+        block also receives a background correspondence (the object moved
+        OFF the block, background got disoccluded ONTO it — both are real
+        at block granularity), the deviation-from-global weighting lets
+        the mover dominate: holes track content, and content that moves
+        is what the global fallback cannot describe."""
+        gmed = jnp.median(mvn, axis=(1, 2), keepdims=True)
+        sy = jnp.clip(jnp.round(yy - mvn[..., 0] / bs), 0, by - 1)
+        sx = jnp.clip(jnp.round(xx - mvn[..., 1] / bs), 0, bx - 1)
+        inb = ((yy - mvn[..., 0] / bs >= -0.5)
+               & (yy - mvn[..., 0] / bs <= by - 0.5)
+               & (xx - mvn[..., 1] / bs >= -0.5)
+               & (xx - mvn[..., 1] / bs <= bx - 0.5))
+        nb = by * bx
+        ni = jnp.arange(mvn.shape[0])[:, None, None]
+        flat = (ni * nb + sy.astype(jnp.int32) * bx
+                + sx.astype(jnp.int32)).reshape(-1)
+        dev_mag = jnp.abs(mvn - gmed).sum(-1)
+        wgt = (inb.astype(jnp.float32)
+               * (1e-3 + 100.0 * dev_mag)).reshape(-1, 1)
+        num = jnp.zeros((mvn.shape[0] * nb, 2), jnp.float32).at[flat].add(
+            mvn.reshape(-1, 2) * wgt)
+        den = jnp.zeros((mvn.shape[0] * nb, 1), jnp.float32).at[flat].add(wgt)
+        f = (num / jnp.maximum(den, 1e-9)).reshape(mvn.shape)
+        return jnp.where(den.reshape(*mvn.shape[:-1], 1) > 1e-4, f,
+                         jnp.broadcast_to(gmed, mvn.shape))
+
+    # forward motion t -> t+1 at p = the scatter-inverse of mv[t+1]
+    g1 = invert(shift_fwd(mv))
+    back, fwd = [mv], [g1]
+    for _ in range(1, window):
+        back.append(back[0] + sample(shift_back(back[-1]), back[0]))
+        fwd.append(fwd[0] + sample(shift_fwd(fwd[-1]), -fwd[0]))
+    # forward displacement convention: content sits at (t+d, p + fwd) ==
+    # (s, p - disp) with disp = -fwd
+    return back, [-f for f in fwd]
+
+
 def _propagate_fill(
     frames: jnp.ndarray,
     removed: jnp.ndarray,
-    cum: jnp.ndarray,
+    mv: jnp.ndarray,
     block_size: int,
     window: int,
     iters: int,
     ref_stride: int = 0,
     max_refs: int = -1,
-    blend_floor: float = 0.55,
+    blend_floor: float = 0.25,
 ) -> jnp.ndarray:
     """One propagation pass: nearest clean (warped) temporal source per
     removed block, pixel gather along the displacement, PDE fallback.
-    ``cum`` is the per-block cumulative motion (pixels); zeros = the
-    co-located variant. ``ref_stride`` adds ProPainter's non-local
-    reference frames (every stride-th frame) as lower-priority sources."""
+    ``mv`` is the per-pair block motion (pixels; see
+    ``_compose_displacements``); zeros = the co-located variant.
+    ``ref_stride`` adds ProPainter's non-local reference frames (every
+    stride-th frame) as lower-priority sources."""
     n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
     by, bx = removed.shape[1], removed.shape[2]
     t_idx = jnp.arange(n)
     grid_by = jnp.arange(by)[:, None]
     grid_bx = jnp.arange(bx)[None, :]
 
-    cum = cum.astype(jnp.float32)  # quarter-pel hints carry fractions
+    mv = mv.astype(jnp.float32)  # quarter-pel hints carry fractions
+    back_d, fwd_d = _compose_displacements(mv, window, block_size)
+    # Non-local references sit at arbitrary distances: compose with the
+    # per-frame GLOBAL median (the pan component — objects' local motion
+    # cannot be trajectory-composed over unbounded gaps at block scale).
+    gmed = jnp.median(mv, axis=(1, 2), keepdims=True)  # (N,1,1,2)
+    cum_g = jnp.cumsum(gmed, axis=0)
     best_src = jnp.full(removed.shape, -1, dtype=jnp.int32)
     best_dy = jnp.zeros(removed.shape, jnp.float32)
     best_dx = jnp.zeros(removed.shape, jnp.float32)
     bs = block_size
 
-    def consider(state, s_idx):
+    def consider(state, s_idx, disp, valid=None):
         """Fold candidate source frames ``s_idx`` (per target frame) into
-        the first-clean-wins (best_src, best_dy, best_dx) state."""
+        the first-clean-wins (best_src, best_dy, best_dx) state.
+        ``disp``: (N,By,Bx,2) displacement (content at (t,p) sits at
+        (s, p - disp)); ``valid``: (N,) mask of rows whose s_idx/disp are
+        meaningful (None = all)."""
         best_src, best_dy, best_dx = state
-        # content at (t, p) sits at (s, p - (cum[t] - cum[s]))
-        disp = cum - cum[s_idx]  # (N,By,Bx,2) pixels (float)
         # The warped read region straddles up to 4 source blocks when
         # disp is not block-aligned — and one extra pixel per fractional
         # axis (the bilinear tap). ALL touched blocks must be clean and
@@ -309,6 +409,8 @@ def _propagate_fill(
             & _ok(qy_hi, qx_lo) & _ok(qy_hi, qx_hi)
         )
         take = (best_src < 0) & clean & (s_idx != t_idx)[:, None, None]
+        if valid is not None:
+            take = take & valid[:, None, None]
         best_src = jnp.where(take, s_idx[:, None, None], best_src)
         best_dy = jnp.where(take, disp[..., 0], best_dy)
         best_dx = jnp.where(take, disp[..., 1], best_dx)
@@ -316,8 +418,10 @@ def _propagate_fill(
 
     state = (best_src, best_dy, best_dx)
     for d in range(1, window + 1):
-        for delta in (-d, d):
-            state = consider(state, jnp.clip(t_idx + delta, 0, n - 1))
+        state = consider(state, jnp.clip(t_idx - d, 0, n - 1),
+                         back_d[d - 1], t_idx - d >= 0)
+        state = consider(state, jnp.clip(t_idx + d, 0, n - 1),
+                         fwd_d[d - 1], t_idx + d <= n - 1)
     if ref_stride and ref_stride > 0:
         # Non-local references: tried only where the local window found no
         # clean source (first-clean-wins state), so they are strictly a
@@ -326,7 +430,8 @@ def _propagate_fill(
         if max_refs and max_refs > 0:
             refs = refs[: int(max_refs)]  # e2fgvi_num_ref cap (-1 = all)
         for r_ in refs:
-            state = consider(state, jnp.full((n,), r_, dtype=t_idx.dtype))
+            state = consider(state, jnp.full((n,), r_, dtype=t_idx.dtype),
+                             jnp.broadcast_to(cum_g - cum_g[r_], mv.shape))
     best_src, best_dy, best_dx = state
     never_avail = best_src < 0
     src = jnp.where(never_avail, t_idx[:, None, None], best_src)

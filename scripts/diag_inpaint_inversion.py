@@ -246,11 +246,13 @@ def main():
                                                       ref_stride=20,
                                                       motion_radius=0))
             by, bx = removal_np.shape[1], removal_np.shape[2]
-            cum_oracle = jnp.broadcast_to(
-                jnp.asarray(cum_true, jnp.int32)[:, None, None, :],
+            pair_true = np.concatenate(
+                [np.zeros((1, 2)), np.diff(np.asarray(cum_true), axis=0)])
+            mv_oracle = jnp.broadcast_to(
+                jnp.asarray(pair_true, jnp.float32)[:, None, None, :],
                 (n, by, bx, 2))
             run("temporal ORACLE pan",
-                lambda f, m: _propagate_fill(f, m.astype(bool), cum_oracle,
+                lambda f, m: _propagate_fill(f, m.astype(bool), mv_oracle,
                                              b, 8, 60, ref_stride=20))
             est = np.asarray(jax.jit(lambda f, m: jnp.median(
                 jnp.cumsum(_estimate_hole_motion(f, m.astype(bool), b, 4, 3),

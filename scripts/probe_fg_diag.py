@@ -150,11 +150,11 @@ def main() -> int:
                lambda f, m: restore_removal_temporal(
                    f, m, b, window=8, ref_stride=20,
                    motion_field=jnp.asarray(mv_field), blend_floor=1.0))
-    run("hinted TRUE field floor=1",
+    run("TRUE field blend (default)",
         lambda f, m: restore_removal_temporal(
             f, m, b, window=8, ref_stride=20,
-            motion_field=jnp.asarray(truef), blend_floor=1.0))
-    blend = run("hinted blend (default .55)",
+            motion_field=jnp.asarray(truef)))
+    blend = run("hinted blend (default)",
                 lambda f, m: restore_removal_temporal(
                     f, m, b, window=8, ref_stride=20,
                     motion_field=jnp.asarray(mv_field)))
