@@ -307,6 +307,84 @@ class TestMotionHint:
         np.testing.assert_array_equal(
             np.asarray(out)[holes[..., 0]], clip[holes[..., 0]])
 
+    def test_displacement_composition_semantics(self, rng):
+        """Trajectory composition (r5): global fields reproduce the
+        cumulative sum exactly; object fields follow the mover through
+        the grid (the co-located cumsum mixed pan into object chains —
+        the r4 fg inversion's root cause)."""
+        from elvis_tpu.restore.inpaint import _compose_displacements
+
+        n, by, bx = 6, 5, 7
+        gm = rng.integers(-3, 4, (n, 2)).astype(np.float32)
+        gm[0] = 0
+        mv = jnp.broadcast_to(jnp.asarray(gm)[:, None, None, :],
+                              (n, by, bx, 2))
+        back, fwd = _compose_displacements(mv, 3, 8)
+        cum = np.cumsum(gm, axis=0)
+        for d in range(1, 4):
+            for t in range(n):
+                if t - d >= 0:
+                    np.testing.assert_allclose(
+                        np.asarray(back[d - 1][t, 2, 3]), cum[t] - cum[t - d],
+                        atol=1e-4)
+                if t + d <= n - 1:
+                    np.testing.assert_allclose(
+                        np.asarray(fwd[d - 1][t, 2, 3]), cum[t] - cum[t + d],
+                        atol=1e-4)
+        # object: one block-row mover at +2 blocks/frame over static bg
+        n, by, bx, bs = 5, 8, 16, 8
+        mvl = np.zeros((n, by, bx, 2), np.float32)
+        for t in range(1, n):
+            c = 2 * t + 3
+            if c < bx:
+                mvl[t, 4, c] = (0, 16.0)
+        back, fwd = _compose_displacements(jnp.asarray(mvl), 3, bs)
+        # content at (t=4, col 11) came from t-2 at col 7: back = 32, not
+        # the co-located 16+0
+        np.testing.assert_allclose(np.asarray(back[1][4, 4, 11]), [0, 32.0],
+                                   atol=0.5)
+        # content at (t=2, col 7) sits at t+2 col 11: fwd disp = -32
+        np.testing.assert_allclose(np.asarray(fwd[1][2, 4, 7]), [0, -32.0],
+                                   atol=0.5)
+
+    def test_moving_object_fill_beats_colocated(self, rng):
+        """End-to-end fill: holes that track a moving object (its d=1
+        neighbours hole the same content) must recover the OBJECT's
+        texture from d=2 via the composed trajectory; zero-motion reads
+        co-located background there."""
+        n, h, w, b = 5, 64, 128, 8
+        bg = (rng.random((h, w, 3)) * 255).astype(np.float32)
+        tex = (rng.random((16, 16, 3)) * 255).astype(np.float32)
+        clip = np.empty((n, h, w, 3), np.float32)
+        mask = np.zeros((n, h // b, w // b), np.int8)
+        truef = np.zeros((n, h // b, w // b, 2), np.float32)
+        for t in range(n):
+            f = bg.copy()
+            x0 = 16 * t + 8  # +2 blocks/frame
+            f[32:48, x0:x0 + 16] = tex
+            clip[t] = f
+            if 1 <= t <= 3:
+                mask[t, 4, (x0 // b)] = 1  # hole the object's leading block
+            if t >= 1:
+                truef[t, 4, x0 // b:(x0 + 16) // b] = (0, 16.0)
+        from elvis_tpu.core.blocks import upsample_map
+
+        holes = np.asarray(upsample_map(jnp.asarray(mask), b))[..., None]
+        holed = jnp.asarray(np.where(holes.astype(bool), 0.0, clip))
+        out = restore_removal_temporal(
+            holed, jnp.asarray(mask), b, window=3,
+            motion_field=jnp.asarray(truef))
+        out0 = restore_removal_temporal(holed, jnp.asarray(mask), b,
+                                        window=3, motion_radius=0)
+        hp = holes.astype(bool)[..., 0]
+
+        def hole_mse(o):
+            d = (np.asarray(o, np.float32) - clip) ** 2
+            return float(d.mean(-1)[hp].mean())
+
+        assert hole_mse(out) * 4 < hole_mse(out0), (
+            hole_mse(out), hole_mse(out0))
+
     def test_hint_roundtrips_mask_sidecar(self, tmp_path, rng):
         from elvis_tpu.codec.sidecar import (
             load_removal_masks_npz, save_removal_masks_npz,
